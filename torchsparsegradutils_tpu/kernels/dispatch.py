@@ -1,0 +1,24 @@
+"""Backend dispatch for Pallas TPU kernels.
+
+Each hook returns ``None`` to fall back to the XLA (gather + segment-sum)
+path — e.g. off-TPU, for shapes the kernel doesn't cover, or while the
+kernel is disabled.  Real kernels live in sibling modules and register here.
+"""
+
+from __future__ import annotations
+
+import jax
+
+_FORCE = None  # set by tests/benchmarks: None | "xla" | "pallas"
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def spmm_pallas(n, row, col, data, B):
+    """Pallas SpMM hook; None -> XLA fallback."""
+    return None

@@ -1,0 +1,277 @@
+"""Random sparse matrix generators.
+
+Rebuild of the reference's generator suite
+(``/root/reference/torchsparsegradutils/utils/random_sparse.py``):
+``rand_sparse`` (:34-118), ``rand_sparse_tri`` (:121-243), the
+``well_conditioned`` diagonal boost (:413-419), and ``make_spd_sparse``
+(:1222-1371).
+
+Differences by design (TPU-first):
+
+* Patterns are generated **host-side with numpy** — patterns are static
+  structure in this library, so there is nothing to trace.  The reference's
+  per-candidate Python rejection-sampling loops (random_sparse.py:307-311)
+  are replaced by vectorised sample→dedup→top-up rounds.
+* Values are drawn with ``jax.random`` from an explicit PRNG key
+  (reference relies on torch global RNG state).
+* Batched generation returns one container with a leading batch dim
+  (shared or per-element patterns), not a list.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import SparseCOO, SparseCSR
+
+__all__ = ["rand_sparse", "rand_sparse_tri", "make_spd_sparse"]
+
+
+def _np_rng(key) -> np.random.Generator:
+    data = np.asarray(jax.random.key_data(key)).ravel()
+    return np.random.default_rng([int(x) for x in data])
+
+
+def _sample_unique_pairs(rng: np.random.Generator, n: int, m: int, nnz: int,
+                         region: str = "all") -> Tuple[np.ndarray, np.ndarray]:
+    """Sample ``nnz`` distinct (i, j) pairs in the given region.
+
+    region: 'all' | 'tril' | 'triu' | 'strict_tril' | 'strict_triu'.
+    Vectorised: sample a batch, dedup, top up until enough, then subsample.
+    """
+    def capacity():
+        if region == "all":
+            return n * m
+        k = min(n, m)
+        tri = k * (k + 1) // 2
+        strict_tri = k * (k - 1) // 2
+        if region == "tril":
+            return tri + max(0, (n - m)) * m if n > m else tri
+        if region == "triu":
+            return tri + max(0, (m - n)) * n if m > n else tri
+        if region == "strict_tril":
+            return strict_tri + (max(0, n - m)) * m
+        if region == "strict_triu":
+            return strict_tri + (max(0, m - n)) * n
+        raise ValueError(region)
+
+    cap = capacity()
+    if nnz > cap:
+        raise ValueError(f"nnz={nnz} exceeds capacity {cap} of region "
+                         f"{region!r} for shape ({n}, {m})")
+
+    keys = np.empty(0, dtype=np.int64)
+    # oversample factor shrinks the expected number of rounds to ~1-2
+    want = nnz
+    for _ in range(64):
+        batch = max(1024, int(1.5 * want) + 16)
+        i = rng.integers(0, n, size=batch, dtype=np.int64)
+        j = rng.integers(0, m, size=batch, dtype=np.int64)
+        if region == "tril":
+            ok = i >= j
+        elif region == "triu":
+            ok = i <= j
+        elif region == "strict_tril":
+            ok = i > j
+        elif region == "strict_triu":
+            ok = i < j
+        else:
+            ok = np.ones(batch, dtype=bool)
+        cand = i[ok] * m + j[ok]
+        keys = np.unique(np.concatenate([keys, cand]))
+        if len(keys) >= nnz:
+            break
+        want = nnz - len(keys)
+    else:  # pragma: no cover - dense regions fall back to exhaustive choice
+        all_i, all_j = np.nonzero(_region_mask(n, m, region))
+        sel = rng.choice(len(all_i), size=nnz, replace=False)
+        return all_i[sel], all_j[sel]
+    keys = rng.permutation(keys)[:nnz]
+    return keys // m, keys % m
+
+
+def _region_mask(n: int, m: int, region: str) -> np.ndarray:
+    i = np.arange(n)[:, None]
+    j = np.arange(m)[None, :]
+    return {"all": np.ones((n, m), bool), "tril": i >= j, "triu": i <= j,
+            "strict_tril": i > j, "strict_triu": i < j}[region]
+
+
+def _build(layout, row, col, data, shape, index_dtype, pattern_static):
+    coo = SparseCOO(row.astype(np.dtype(index_dtype)),
+                    col.astype(np.dtype(index_dtype)),
+                    data, shape, pattern_static=pattern_static)
+    coo = coo.sort_indices()
+    if layout == "csr":
+        return coo.tocsr()
+    if layout != "coo":
+        raise ValueError(f"unknown layout {layout!r}")
+    return coo
+
+
+def _gen_batched(key, gen_one, batch: Tuple[int, ...], shared_pattern: bool,
+                 shape2d, nnz, layout):
+    """Generate a batched container from a per-element generator."""
+    bsz = int(np.prod(batch))
+    if shared_pattern:
+        kp, kv = jax.random.split(key)
+        one = gen_one(kp)
+        vals = jax.random.normal(kv, (bsz, nnz), one.data.dtype)
+        vals = vals.reshape(batch + (nnz,))
+        if layout == "coo":
+            return SparseCOO(one.rows_np(), one.cols_np(), vals,
+                             batch + shape2d, pattern_static=one.pattern_static)
+        return SparseCSR(one.indptr_np(), one.cols_np(), vals,
+                         batch + shape2d, pattern_static=one.pattern_static)
+    keys = jax.random.split(key, bsz)
+    parts = [gen_one(k) for k in keys]
+    data = jnp.stack([p.data for p in parts]).reshape(batch + (nnz,))
+    if layout == "coo":
+        rows = np.stack([p.rows_np() for p in parts]).reshape(batch + (nnz,))
+        cols = np.stack([p.cols_np() for p in parts]).reshape(batch + (nnz,))
+        return SparseCOO(rows, cols, data, batch + shape2d,
+                         pattern_static=parts[0].pattern_static)
+    ips = np.stack([p.indptr_np() for p in parts]).reshape(
+        batch + (shape2d[0] + 1,))
+    ixs = np.stack([p.cols_np() for p in parts]).reshape(batch + (nnz,))
+    return SparseCSR(ips, ixs, data, batch + shape2d,
+                     pattern_static=parts[0].pattern_static)
+
+
+def rand_sparse(key, shape, nnz: int, *, layout: str = "coo",
+                value_dtype=jnp.float32, index_dtype=jnp.int32,
+                well_conditioned: bool = False, shared_pattern: bool = False,
+                pattern_static: bool = True):
+    """Random sparse matrix with exactly ``nnz`` distinct nonzeros.
+
+    ``well_conditioned`` (square matrices): include the full diagonal within
+    the nnz budget and boost it above the off-diagonal row sums (reference
+    random_sparse.py:413-419), making the matrix comfortably invertible.
+    Batched shapes ``(*B, n, m)`` generate per-element patterns unless
+    ``shared_pattern=True``.
+    """
+    shape = tuple(int(s) for s in shape)
+    if len(shape) > 2:
+        gen = lambda k: rand_sparse(k, shape[-2:], nnz, layout=layout,
+                                    value_dtype=value_dtype,
+                                    index_dtype=index_dtype,
+                                    well_conditioned=well_conditioned,
+                                    pattern_static=pattern_static)
+        return _gen_batched(key, gen, shape[:-2], shared_pattern, shape[-2:],
+                            nnz, layout)
+    n, m = shape
+    kp, kv = jax.random.split(key)
+    rng = _np_rng(kp)
+    if well_conditioned:
+        if n != m:
+            raise ValueError("well_conditioned requires a square matrix")
+        if nnz < n:
+            raise ValueError(f"well_conditioned requires nnz >= n ({n})")
+        oi, oj = _sample_unique_pairs(rng, n, n, nnz - n, "all")
+        keep = oi != oj
+        oi, oj = oi[keep], oj[keep]  # diagonal handled separately
+        row = np.concatenate([np.arange(n), oi])
+        col = np.concatenate([np.arange(n), oj])
+        off_vals = jax.random.normal(kv, (len(oi),), value_dtype)
+        rowsum = jnp.zeros((n,), value_dtype).at[row[n:]].add(
+            jnp.abs(off_vals)) if len(oi) else jnp.zeros((n,), value_dtype)
+        diag = rowsum + 1.0
+        data = jnp.concatenate([diag, off_vals])
+        # pad dropped diagonal-duplicates back to exactly nnz with zeros at (0,0)
+        pad = nnz - len(row)
+        if pad:
+            row = np.concatenate([row, np.zeros(pad, np.int64)])
+            col = np.concatenate([col, np.zeros(pad, np.int64)])
+            data = jnp.concatenate([data, jnp.zeros((pad,), value_dtype)])
+        return _build(layout, row, col, data, shape, index_dtype,
+                      pattern_static)
+    row, col = _sample_unique_pairs(rng, n, m, nnz, "all")
+    data = jax.random.normal(kv, (nnz,), value_dtype)
+    return _build(layout, row, col, data, shape, index_dtype, pattern_static)
+
+
+def rand_sparse_tri(key, shape, nnz: int, *, upper: bool = False,
+                    strict: bool = False, layout: str = "coo",
+                    value_dtype=jnp.float32, index_dtype=jnp.int32,
+                    well_conditioned: bool = True,
+                    shared_pattern: bool = False,
+                    pattern_static: bool = True):
+    """Random triangular sparse matrix (reference random_sparse.py:121-243).
+
+    Non-strict triangles always include the full diagonal (reference
+    ``_gen_indices_2d_coo_nonstrict_tri``, :867-934); with
+    ``well_conditioned`` the diagonal dominates its row, keeping solves
+    stable (this is the default, as solvers are the main consumer).
+    """
+    shape = tuple(int(s) for s in shape)
+    if len(shape) > 2:
+        gen = lambda k: rand_sparse_tri(k, shape[-2:], nnz, upper=upper,
+                                        strict=strict, layout=layout,
+                                        value_dtype=value_dtype,
+                                        index_dtype=index_dtype,
+                                        well_conditioned=well_conditioned,
+                                        pattern_static=pattern_static)
+        return _gen_batched(key, gen, shape[:-2], shared_pattern, shape[-2:],
+                            nnz, layout)
+    n, m = shape
+    kp, kv = jax.random.split(key)
+    rng = _np_rng(kp)
+    region = ("strict_triu" if upper else "strict_tril") if strict else None
+    if strict:
+        row, col = _sample_unique_pairs(rng, n, m, nnz, region)
+        data = jax.random.normal(kv, (nnz,), value_dtype)
+        return _build(layout, row, col, data, shape, index_dtype,
+                      pattern_static)
+    d = min(n, m)
+    if nnz < d:
+        raise ValueError(
+            f"non-strict triangular requires nnz >= diagonal length {d}")
+    region = "strict_triu" if upper else "strict_tril"
+    oi, oj = _sample_unique_pairs(rng, n, m, nnz - d, region)
+    row = np.concatenate([np.arange(d), oi])
+    col = np.concatenate([np.arange(d), oj])
+    off_vals = jax.random.normal(kv, (nnz - d,), value_dtype)
+    if well_conditioned:
+        rowsum = jnp.zeros((n,), value_dtype).at[jnp.asarray(oi)].add(
+            jnp.abs(off_vals)) if nnz > d else jnp.zeros((n,), value_dtype)
+        diag = rowsum[:d] + 1.0
+    else:
+        diag = jax.random.normal(jax.random.fold_in(kv, 1), (d,), value_dtype)
+    data = jnp.concatenate([diag, off_vals])
+    return _build(layout, row, col, data, shape, index_dtype, pattern_static)
+
+
+def make_spd_sparse(key, n: int, nnz: int, *, layout: str = "coo",
+                    value_dtype=jnp.float32, index_dtype=jnp.int32,
+                    pattern_static: bool = True):
+    """Random sparse symmetric positive-definite matrix.
+
+    Reference ``make_spd_sparse`` (random_sparse.py:1222-1371).  Built as a
+    symmetric pattern with a diagonally-dominant diagonal: off-diagonal
+    entries come in mirrored (i, j)/(j, i) pairs with equal values, and
+    ``diag[i] = 1 + Σ_j |A[i, j]|``, which guarantees SPD.  ``nnz`` counts
+    total stored entries and must satisfy ``nnz >= n`` and
+    ``(nnz - n) % 2 == 0``.
+    """
+    if nnz < n:
+        raise ValueError(f"make_spd_sparse requires nnz >= n, got {nnz} < {n}")
+    if (nnz - n) % 2:
+        raise ValueError("nnz - n must be even (mirrored off-diagonal pairs)")
+    k_half = (nnz - n) // 2
+    kp, kv = jax.random.split(key)
+    rng = _np_rng(kp)
+    oi, oj = _sample_unique_pairs(rng, n, n, k_half, "strict_tril")
+    vals = jax.random.normal(kv, (k_half,), value_dtype) * 0.5
+    row = np.concatenate([np.arange(n), oi, oj])
+    col = np.concatenate([np.arange(n), oj, oi])
+    absrow = jnp.zeros((n,), value_dtype)
+    if k_half:
+        absrow = absrow.at[jnp.asarray(oi)].add(jnp.abs(vals))
+        absrow = absrow.at[jnp.asarray(oj)].add(jnp.abs(vals))
+    diag = absrow + 1.0
+    data = jnp.concatenate([diag, vals, vals])
+    return _build(layout, row, col, data, (n, n), index_dtype, pattern_static)
