@@ -1,0 +1,245 @@
+"""Sparse log-sum-exp reductions (uni- and bi-directional).
+
+TPU-native rebuild of the reference's
+``/root/reference/torchsparsegradutils/sparse_logsumexp.py``:
+
+* ``sparse_logsumexp`` (:246-351) — logsumexp over ``dim`` of a 2-D or
+  batched 3-D sparse tensor with dense-equivalent (``include_zeros=True``)
+  or support-mask (``include_zeros=False``) semantics.
+* ``sparse_bidir_logsumexp`` (:354-496) — row- and column-wise reductions in
+  one traversal, sharing a single segment reduction over stacked indices.
+* ``_scatter_logsumexp`` (:10-73) — the numerically stable max-shifted
+  scatter kernel; here a fused pair of ``jax.ops.segment_max`` /
+  ``segment_sum`` with the shift detached via ``lax.stop_gradient``.
+
+Differentiation is plain JAX autodiff through the data values (the reference
+likewise relies on torch autograd, test_sparse_logsumexp.py:244-262) — the
+gradient w.r.t. the sparse input lives on its stored values only, by
+construction.  Batch dims are folded into the segment index (one reduction
+kernel regardless of batching, reference :141-172).
+
+Notes vs the reference:
+* layouts: COO and CSR (a CSC matrix is representable as the CSR of the
+  transpose; the reference's CSC branch reads the same index arrays).
+* ``output_layout="nested"`` is not provided — JAX has no ragged container;
+  use ``"tuple"`` (stable) or ``"padded"``.
+* patterns are assumed duplicate-free (use ``utils.coalesce`` first; the
+  reference coalesces COO on the fly, which has no static-shape analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..types import SparseCOO, SparseCSR, is_sparse
+
+__all__ = ["sparse_logsumexp", "sparse_bidir_logsumexp"]
+
+
+def _scatter_logsumexp(values, seg, n_groups: int, n_zeros_per_group,
+                       sorted_seg: bool = False):
+    """Stable log-sum-exp of ``values`` scattered into ``n_groups`` groups.
+
+    values/seg: flat ``(N,)`` arrays. ``n_zeros_per_group``: ``(n_groups,)``
+    count of structural zeros contributing ``exp(0)=1`` each, or None.
+    Empty groups return ``-inf``.
+    """
+    max_val = jax.ops.segment_max(values, seg, num_segments=n_groups,
+                                  indices_are_sorted=sorted_seg)
+    if n_zeros_per_group is not None:
+        has_zeros = n_zeros_per_group > 0
+        max_val = jnp.where(has_zeros, jnp.maximum(max_val, 0.0), max_val)
+    shift = jax.lax.stop_gradient(
+        jnp.where(jnp.isfinite(max_val), max_val, 0.0))
+    shifted_exp = jnp.exp(values - jnp.take(shift, seg))
+    sum_exp = jax.ops.segment_sum(shifted_exp, seg, num_segments=n_groups,
+                                  indices_are_sorted=sorted_seg)
+    if n_zeros_per_group is not None:
+        zeros_contrib = n_zeros_per_group.astype(values.dtype) * jnp.exp(-shift)
+        sum_exp = sum_exp + jnp.where(has_zeros, zeros_contrib, 0.0)
+    empty = sum_exp == 0.0
+    safe = jnp.where(empty, 1.0, sum_exp)
+    return jnp.where(empty, -jnp.inf, shift + jnp.log(safe))
+
+
+def _flat_indices(A) -> tuple:
+    """(rows, cols, values, batch_size) flattened over batch.
+
+    rows/cols/values come back as ``(B, nnz)`` (B=1 when unbatched)."""
+    rows = jnp.asarray(A.rows())
+    cols = jnp.asarray(A.cols())
+    vals = A.data
+    if A.ndim == 2:
+        return rows[None], cols[None], vals[None], 1
+    b = A.shape[0]
+    if rows.ndim == 1:
+        rows = jnp.broadcast_to(rows, (b, A.nnz))
+        cols = jnp.broadcast_to(cols, (b, A.nnz))
+    return rows, cols, vals, b
+
+
+def _validate_dims(ndim: int, dim) -> list:
+    dims_list = [dim] if isinstance(dim, int) else list(dim)
+    if not dims_list:
+        raise ValueError("sparse_logsumexp: dim must not be empty")
+    for d in dims_list:
+        if not -ndim <= d < ndim:
+            raise IndexError(
+                f"Dimension out of range (expected to be in range of "
+                f"[{-ndim}, {ndim - 1}], but got {d})")
+    normalised = [d % ndim for d in dims_list]
+    if len(set(normalised)) != len(normalised):
+        raise ValueError("sparse_logsumexp: dim contains a repeated dimension")
+    return sorted(normalised)
+
+
+def sparse_logsumexp(A: Union[SparseCOO, SparseCSR],
+                     dim: Union[int, Sequence[int]],
+                     keepdim: bool = False,
+                     include_zeros: bool = True):
+    """Log-sum-exp along ``dim`` of a sparse matrix, O(nnz) memory.
+
+    ``include_zeros=True`` treats absent entries as genuine zeros (each
+    contributing ``exp(0)=1``), matching dense ``logsumexp(A.todense())``;
+    ``include_zeros=False`` treats them as ``-inf`` (support-mask semantics;
+    empty rows/columns come back ``-inf``).
+
+    2-D input: ``dim`` in {0, 1, [0, 1]}.  Batched 3-D input: the batch axis
+    (0) cannot be reduced; ``dim`` selects from {1, 2}.
+    Reference: ``sparse_logsumexp`` (sparse_logsumexp.py:246-351).
+    """
+    if not is_sparse(A):
+        raise TypeError("sparse_logsumexp: input must be SparseCOO/SparseCSR")
+    if A.ndim not in (2, 3):
+        raise NotImplementedError(
+            f"sparse_logsumexp supports 2-D or batched 3-D input, got "
+            f"ndim={A.ndim}")
+    dims = _validate_dims(A.ndim, dim)
+    batched = A.ndim == 3
+    if batched and 0 in dims:
+        raise NotImplementedError(
+            "Cannot reduce the batch dimension (0) of a batched 3-D sparse "
+            "tensor")
+    nrows, ncols = A.mat_shape
+    rows, cols, vals, b = _flat_indices(A)
+    red = [d - 1 for d in dims] if batched else dims  # within-matrix dims
+
+    if red == [0]:        # reduce over rows -> one value per column
+        seg_in, n_groups, width = cols, ncols, nrows
+    elif red == [1]:      # reduce over columns -> one value per row
+        seg_in, n_groups, width = rows, nrows, ncols
+    else:                 # [0, 1]: reduce to one value per (batch) slice
+        seg_in, n_groups, width = jnp.zeros_like(rows), 1, nrows * ncols
+
+    b_off = jnp.arange(b, dtype=seg_in.dtype)[:, None] * n_groups
+    seg = (seg_in + b_off).reshape(-1)
+    flat_vals = vals.reshape(-1)
+    total = b * n_groups
+    if include_zeros:
+        counts = jax.ops.segment_sum(jnp.ones_like(seg), seg,
+                                     num_segments=total)
+        n_zeros = width - counts
+    else:
+        n_zeros = None
+    out = _scatter_logsumexp(flat_vals, seg, total, n_zeros)
+    out = out.reshape((b, n_groups))
+
+    # shape conventions of torch.logsumexp
+    if not batched:
+        out = out[0]
+        if len(red) == 2:
+            out = out[0]  # scalar
+        if keepdim:
+            if len(red) == 2:
+                out = jnp.reshape(out, (1, 1))
+            elif red == [0]:
+                out = out[None, :]
+            else:
+                out = out[:, None]
+        return out
+    if len(red) == 2:
+        out = out[:, 0]
+        if keepdim:
+            out = out[:, None, None]
+        return out
+    out = out  # (b, n_groups)
+    if keepdim:
+        out = out[:, None, :] if red == [0] else out[:, :, None]
+    return out
+
+
+def sparse_bidir_logsumexp(A: Union[SparseCOO, SparseCSR],
+                           keepdim: bool = False,
+                           include_zeros: bool = True,
+                           output_layout: str = "tuple"):
+    """Row- AND column-wise log-sum-exp in one traversal.
+
+    Returns ``(col_lse, row_lse)`` — the reduction over rows (one value per
+    column) first, then the reduction over columns (one value per row) —
+    matching the reference's order (sparse_logsumexp.py:354-496).  With
+    ``output_layout="padded"`` returns one dense ``(2, G)`` / ``(2, b, G)``
+    array, ``G = max(r, c)``, padded with ``-inf``.
+
+    Both reductions share a single stacked segment reduction: every nonzero
+    contributes to both outputs from one extraction (reference
+    ``_bidir_2d``/``_bidir_batched``, :175-243).
+    """
+    if not is_sparse(A):
+        raise TypeError(
+            "sparse_bidir_logsumexp: input must be SparseCOO/SparseCSR")
+    if A.ndim not in (2, 3):
+        raise NotImplementedError(
+            f"sparse_bidir_logsumexp supports 2-D or batched 3-D input, got "
+            f"ndim={A.ndim}")
+    if output_layout == "nested":
+        raise NotImplementedError(
+            "output_layout='nested' has no JAX analogue (no ragged "
+            "containers); use 'tuple' or 'padded'")
+    if output_layout not in ("tuple", "padded"):
+        raise ValueError(
+            f"sparse_bidir_logsumexp: unknown output_layout "
+            f"{output_layout!r}; expected 'tuple' or 'padded'")
+    if keepdim and output_layout != "tuple":
+        raise ValueError(
+            "sparse_bidir_logsumexp: keepdim is only supported with "
+            "output_layout='tuple'")
+
+    batched = A.ndim == 3
+    nrows, ncols = A.mat_shape
+    G = max(nrows, ncols)
+    rows, cols, vals, b = _flat_indices(A)
+
+    # direction 0: col_lse (segment by column); direction 1: row_lse (by row)
+    b_off = jnp.arange(b, dtype=rows.dtype)[:, None] * G
+    seg0 = (cols + b_off).reshape(-1)
+    seg1 = (rows + b_off).reshape(-1) + b * G
+    seg = jnp.concatenate([seg0, seg1])
+    flat_vals = jnp.concatenate([vals.reshape(-1)] * 2)
+    total = 2 * b * G
+    if include_zeros:
+        counts = jax.ops.segment_sum(jnp.ones_like(seg), seg,
+                                     num_segments=total)
+        width = jnp.concatenate([
+            jnp.where(jnp.arange(b * G) % G < ncols, nrows, 0),
+            jnp.where(jnp.arange(b * G) % G < nrows, ncols, 0)])
+        n_zeros = width - counts
+    else:
+        n_zeros = None
+    out = _scatter_logsumexp(flat_vals, seg, total, n_zeros)
+    padded = out.reshape(2, b, G)
+
+    if output_layout == "padded":
+        return padded if batched else padded[:, 0, :]
+    col_lse = padded[0, :, :ncols]
+    row_lse = padded[1, :, :nrows]
+    if not batched:
+        col_lse, row_lse = col_lse[0], row_lse[0]
+    if keepdim:
+        if batched:
+            col_lse, row_lse = col_lse[:, None, :], row_lse[:, :, None]
+        else:
+            col_lse, row_lse = col_lse[None, :], row_lse[:, None]
+    return col_lse, row_lse
