@@ -1,0 +1,213 @@
+"""Krylov solver tests: convergence vs dense solve on SPD/nonsymmetric/
+indefinite/least-squares systems, multi-RHS, shifts, damping, closures,
+jit (mirrors the solver usage in reference tests/test_sparse_solve.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchsparsegradutils_tpu.solvers import (
+    BICGSTABSettings,
+    LinearCGSettings,
+    LSMRSettings,
+    MINRESSettings,
+    bicgstab,
+    linear_cg,
+    lsmr,
+    minres,
+)
+from torchsparsegradutils_tpu.utils import make_spd_sparse, rand_sparse
+
+
+def _spd(key, n=24, nnz=None):
+    nnz = nnz or (n + 2 * n)
+    return make_spd_sparse(key, n, nnz)
+
+
+def test_cg_spd_vector(key):
+    A = _spd(key)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    x = linear_cg(A, b, settings=LinearCGSettings(max_iter=200, rtol=1e-6))
+    ref = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_cg_multirhs(key):
+    A = _spd(key)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (24, 5))
+    x = linear_cg(A, B, settings=LinearCGSettings(max_iter=200, rtol=1e-6))
+    ref = jnp.linalg.solve(A.todense(), B)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_cg_preconditioner(key):
+    A = _spd(key)
+    d = jnp.diag(A.todense())
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    x = linear_cg(A, b, preconditioner=lambda r: r / d[:, None]
+                  if r.ndim == 2 else r / d,
+                  settings=LinearCGSettings(max_iter=200, rtol=1e-6))
+    ref = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_cg_closure_and_dense(key):
+    A = _spd(key)
+    Ad = A.todense()
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    x1 = linear_cg(Ad, b, settings=LinearCGSettings(rtol=1e-6))
+    x2 = linear_cg(lambda v: Ad @ v, b, settings=LinearCGSettings(rtol=1e-6))
+    ref = jnp.linalg.solve(Ad, b)
+    for x in (x1, x2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_cg_zero_rhs(key):
+    A = _spd(key)
+    b = jnp.zeros((24,))
+    x = linear_cg(A, b)
+    np.testing.assert_allclose(np.asarray(x), 0.0)
+
+
+def test_cg_jit(key):
+    A = _spd(key)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    f = jax.jit(lambda sp, b: linear_cg(
+        sp, b, settings=LinearCGSettings(max_iter=200, rtol=1e-6)))
+    x = f(A, b)
+    ref = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_cg_tridiag_logdet(key):
+    """Lanczos T matrices from CG estimate eigen-structure: for a small SPD
+    matrix run to convergence, eig(T) ~ subset of eig(A) and the Gaussian
+    quadrature logdet estimate is finite and close-ish."""
+    A = _spd(key, n=16, nnz=16 + 2 * 8)
+    k = 4
+    probes = jax.random.rademacher(jax.random.fold_in(key, 3), (16, k),
+                                   dtype=jnp.float32)
+    x, (t_diag, t_off, iters) = linear_cg(
+        A, probes, settings=LinearCGSettings(max_iter=64, rtol=1e-8,
+                                             mean_residual=False),
+        n_tridiag=k)
+    iters = int(iters)
+    assert iters > 1
+    # build T matrices and compare stochastic logdet estimate to truth
+    n = 16
+    logdet_est = 0.0
+    for j in range(k):
+        d = np.asarray(t_diag[:iters, j])
+        e = np.asarray(t_off[:iters - 1, j])
+        T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+        w, V = np.linalg.eigh(T)
+        w = np.maximum(w, 1e-12)
+        logdet_est += n * float(V[0] ** 2 @ np.log(w)) / k
+    truth = float(np.linalg.slogdet(np.asarray(A.todense()))[1])
+    assert abs(logdet_est - truth) / abs(truth) < 0.5
+
+
+def test_bicgstab_nonsymmetric(key):
+    A = rand_sparse(key, (24, 24), 24 * 4, well_conditioned=True)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    x = bicgstab(A, b, settings=BICGSTABSettings(max_iter=400, rtol=1e-7))
+    ref = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-3)
+
+
+def test_bicgstab_multirhs(key):
+    A = rand_sparse(key, (20, 20), 20 * 3, well_conditioned=True)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (20, 3))
+    x = bicgstab(A, B, settings=BICGSTABSettings(max_iter=400, rtol=1e-7))
+    ref = jnp.linalg.solve(A.todense(), B)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-3)
+
+
+def test_minres_spd(key):
+    A = _spd(key)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    x = minres(A, b, settings=MINRESSettings(max_iter=300, rtol=1e-7))
+    ref = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_minres_indefinite(key):
+    """MINRES handles symmetric indefinite systems (CG would fail)."""
+    A = _spd(key)
+    Ad = A.todense() - 2.5 * jnp.eye(24)  # make indefinite, symmetric
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    x = minres(Ad, b, settings=MINRESSettings(max_iter=500, rtol=1e-7))
+    ref = jnp.linalg.solve(Ad, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-2)
+
+
+def test_minres_multirhs_and_shifts(key):
+    A = _spd(key)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (24, 3))
+    shifts = jnp.array([0.0, -0.5, -1.0])
+    x = minres(A, B, shifts=shifts,
+               settings=MINRESSettings(max_iter=500, rtol=1e-7))
+    assert x.shape == (3, 24, 3)
+    for i, sg in enumerate(np.asarray(shifts)):
+        ref = jnp.linalg.solve(A.todense() - sg * jnp.eye(24), B)
+        np.testing.assert_allclose(np.asarray(x[i]), np.asarray(ref),
+                                   rtol=1e-2, atol=1e-2)
+
+
+def test_lsmr_square(key):
+    A = rand_sparse(key, (20, 20), 20 * 3, well_conditioned=True)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (20,))
+    x, itn = lsmr(A, b, settings=LSMRSettings(max_iter=400, atol=1e-8,
+                                              btol=1e-8))
+    ref = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-3)
+    assert int(itn) > 0
+
+
+def test_lsmr_overdetermined(key):
+    A = rand_sparse(key, (30, 10), 80)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (30,))
+    x, _ = lsmr(A, b, settings=LSMRSettings(max_iter=400, atol=1e-10,
+                                            btol=1e-10))
+    ref, *_ = jnp.linalg.lstsq(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-3)
+
+
+def test_lsmr_multirhs(key):
+    A = rand_sparse(key, (30, 10), 80)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (30, 4))
+    x, _ = lsmr(A, B, settings=LSMRSettings(max_iter=400, atol=1e-10,
+                                            btol=1e-10))
+    ref, *_ = jnp.linalg.lstsq(A.todense(), B)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-3)
+
+
+def test_lsmr_damped(key):
+    A = rand_sparse(key, (30, 10), 80)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (30,))
+    damp = 0.7
+    x, _ = lsmr(A, b, settings=LSMRSettings(max_iter=600, atol=1e-10,
+                                            btol=1e-10, damp=damp))
+    Ad = np.asarray(A.todense())
+    ref = np.linalg.solve(Ad.T @ Ad + damp ** 2 * np.eye(10), Ad.T @ np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-2, atol=1e-3)
+
+
+def test_lsmr_zero_rhs(key):
+    A = rand_sparse(key, (12, 6), 20)
+    x, itn = lsmr(A, jnp.zeros((12,)))
+    np.testing.assert_allclose(np.asarray(x), 0.0)
+    assert int(itn) == 0

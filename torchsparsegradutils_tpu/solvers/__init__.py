@@ -1,0 +1,15 @@
+from .bicgstab import BICGSTABSettings, bicgstab
+from .cg import LinearCGSettings, linear_cg
+from .lsmr import LSMRSettings, lsmr
+from .minres import MINRESSettings, minres
+
+__all__ = [
+    "BICGSTABSettings",
+    "bicgstab",
+    "LinearCGSettings",
+    "linear_cg",
+    "LSMRSettings",
+    "lsmr",
+    "MINRESSettings",
+    "minres",
+]

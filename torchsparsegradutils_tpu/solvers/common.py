@@ -1,0 +1,75 @@
+"""Shared plumbing for the Krylov solvers.
+
+The solvers are ``jax.lax.while_loop`` drivers over a matvec closure — the
+TPU-native analogue of the reference's pure-PyTorch Krylov loops
+(``/root/reference/torchsparsegradutils/utils/{linear_cg,bicgstab,minres,
+lsmr}.py``).  Python-loop early exit becomes a converged-mask predicate in
+the while condition; per-column freezing masks reproduce the reference's
+"stop updating converged columns" behaviour without host syncs.
+
+Settings are frozen dataclasses (hashable → usable as static jit arguments
+and forwardable through ``sparse_generic_solve``'s cached custom-VJP
+builders), mirroring the reference's NamedTuple settings objects
+(linear_cg.py:10-20, bicgstab.py:14-19, minres.py:9-13).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..types import is_sparse
+
+
+def as_matvec(A) -> Callable:
+    """Normalise a matrix-like into a closure acting on (n,) or (n, k)."""
+    if callable(A) and not is_sparse(A) and not isinstance(A, jnp.ndarray):
+        return A
+    if is_sparse(A):
+        from ..ops.spmm import sparse_mm
+
+        def mv(x):
+            if x.ndim == 1:
+                return sparse_mm(A, x[:, None])[:, 0]
+            return sparse_mm(A, x)
+
+        return mv
+    A_arr = jnp.asarray(A) if not isinstance(A, jax.core.Tracer) else A
+
+    def mv_dense(x):
+        return A_arr @ x
+
+    return mv_dense
+
+
+def as_rmatvec(A) -> Callable:
+    """Transpose matvec for a matrix-like (needed by LSMR)."""
+    if is_sparse(A):
+        return as_matvec(A.T)
+    if callable(A) and not isinstance(A, jnp.ndarray):
+        raise ValueError(
+            "a callable matmul closure needs an explicit transpose closure "
+            "(pass rmatvec=...)")
+    A_arr = jnp.asarray(A) if not isinstance(A, jax.core.Tracer) else A
+    return lambda x: A_arr.T @ x
+
+
+def ensure_matrix(b):
+    """(n,) -> (n, 1); returns (b2d, was_vector)."""
+    b = b if isinstance(b, jax.core.Tracer) else jnp.asarray(b)
+    if b.ndim == 1:
+        return b[:, None], True
+    if b.ndim == 2:
+        return b, False
+    raise ValueError(f"rhs must be 1-D or 2-D, got {b.ndim}-D")
+
+
+def col_norms(x):
+    return jnp.sqrt(jnp.sum(x * x, axis=0))
+
+
+def safe_div(a, b, eps=None):
+    eps = eps or jnp.finfo(a.dtype).tiny
+    return a / jnp.where(jnp.abs(b) > eps, b, jnp.where(b >= 0, eps, -eps))
