@@ -113,14 +113,33 @@ def _build(layout, row, col, data, shape, index_dtype, pattern_static):
     return coo
 
 
+def _values_for_pattern(key, rows, cols, n, nnz, value_dtype,
+                        boost_diag: bool):
+    """Fresh values for a fixed pattern; with ``boost_diag``, diagonal
+    entries are set to 1 + sum|off-diagonal in row| (diagonal dominance)."""
+    vals = jax.random.normal(key, (nnz,), value_dtype)
+    if not boost_diag:
+        return vals
+    diag_mask = jnp.asarray(rows == cols)
+    off = jnp.where(diag_mask, 0.0, vals)
+    rowsum = jnp.zeros((n,), value_dtype).at[jnp.asarray(rows)].add(
+        jnp.abs(off))
+    diag_vals = rowsum[jnp.asarray(rows)] + 1.0
+    return jnp.where(diag_mask, diag_vals, off)
+
+
 def _gen_batched(key, gen_one, batch: Tuple[int, ...], shared_pattern: bool,
-                 shape2d, nnz, layout):
+                 shape2d, nnz, layout, boost_diag: bool = False):
     """Generate a batched container from a per-element generator."""
     bsz = int(np.prod(batch))
     if shared_pattern:
         kp, kv = jax.random.split(key)
         one = gen_one(kp)
-        vals = jax.random.normal(kv, (bsz, nnz), one.data.dtype)
+        rows = one.rows_np() if layout == "coo" else one.tocoo().rows_np()
+        cols = one.cols_np()
+        vals = jax.vmap(lambda k: _values_for_pattern(
+            k, rows, cols, shape2d[0], nnz, one.data.dtype, boost_diag)
+        )(jax.random.split(kv, bsz))
         vals = vals.reshape(batch + (nnz,))
         if layout == "coo":
             return SparseCOO(one.rows_np(), one.cols_np(), vals,
@@ -162,7 +181,7 @@ def rand_sparse(key, shape, nnz: int, *, layout: str = "coo",
                                     well_conditioned=well_conditioned,
                                     pattern_static=pattern_static)
         return _gen_batched(key, gen, shape[:-2], shared_pattern, shape[-2:],
-                            nnz, layout)
+                            nnz, layout, boost_diag=well_conditioned)
     n, m = shape
     kp, kv = jax.random.split(key)
     rng = _np_rng(kp)
@@ -216,7 +235,8 @@ def rand_sparse_tri(key, shape, nnz: int, *, upper: bool = False,
                                         well_conditioned=well_conditioned,
                                         pattern_static=pattern_static)
         return _gen_batched(key, gen, shape[:-2], shared_pattern, shape[-2:],
-                            nnz, layout)
+                            nnz, layout,
+                            boost_diag=well_conditioned and not strict)
     n, m = shape
     kp, kv = jax.random.split(key)
     rng = _np_rng(kp)
