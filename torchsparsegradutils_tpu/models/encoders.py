@@ -1,0 +1,277 @@
+"""Pairwise spatial-channel neighborhood encoders.
+
+TPU-native rebuild of the reference's
+``/root/reference/torchsparsegradutils/encoders/pairwise_encoder.py``:
+
+* ``_trim_nd`` (:15-82) — per-dimension trimming (positive offsets drop from
+  the start, negative from the end);
+* ``_gen_coords_nd`` (:85-144) — integer lattice points in an ℓ₂ ball,
+  origin excluded;
+* ``_gen_offsets_nd`` (:198-321) — (channel, *spatial) offset tuples with
+  ``indep``/``intra``/``inter`` channel relations, ``upper`` sign filtering
+  on the first non-zero entry, and the deterministic sort key
+  (channel-scaled radius, |entries|, sign preference) (:316-319);
+* ``calc_pairwise_coo_indices_nd`` (:383-505) — per-offset ``(2, M)`` linear
+  index pairs by double trimming of the row-major index lattice;
+* ``PairwiseEncoder`` (:562-849) — precomputes all index structure at
+  ``__init__`` (host-side numpy; the pattern is static), and ``__call__``
+  assembles trimmed per-offset value blocks into a ``SparseCOO`` /
+  ``SparseCSR`` container — a pure static-slice gather + concat +
+  (precomputed) permutation, fully jit-compatible.
+
+Differences from the reference: the output is this library's static-pattern
+container (so downstream SpMM/solve/distribution calls never re-derive the
+pattern); COO output is pre-sorted at init via a cached permutation instead
+of a per-call ``coalesce`` (duplicate index pairs, which can only arise for
+radii comparable to the volume extent, are merged via a precomputed segment
+map with identical semantics).
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from functools import reduce
+from itertools import product
+from operator import mul
+from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import SparseCOO, SparseCSR
+
+__all__ = [
+    "PairwiseEncoder",
+    "calc_pairwise_coo_indices_nd",
+    "PairwiseVoxelEncoder",
+]
+
+
+def _trim_nd(x, offsets: Tuple[int, ...]):
+    """Trim each axis: k>0 keeps x[k:], k<0 keeps x[:k] (works for numpy
+    and jax arrays; slices are static)."""
+    if x.ndim != len(offsets):
+        raise ValueError(
+            f"Number of dimensions in tensor ({x.ndim}) does not match "
+            f"number of offsets ({len(offsets)})")
+    return x[tuple(slice(None if o < 0 else o, None if o > -1 else o)
+                   for o in offsets)]
+
+
+def _gen_coords_nd(radius: float, spatial_dims: int) -> Set[Tuple[int, ...]]:
+    """Integer lattice points with ||x||₂ <= radius, origin excluded."""
+    if spatial_dims <= 0:
+        raise ValueError("spatial_dims must be a positive integer")
+    rng = range(math.floor(-radius), math.ceil(radius) + 1)
+    zero = tuple(0 for _ in range(spatial_dims))
+    return {c for c in product(rng, repeat=spatial_dims)
+            if sum(v * v for v in c) <= radius ** 2 and c != zero}
+
+
+def _gen_offsets_nd(radius: float, spatial_dims: int,
+                    upper: Optional[bool] = None, num_channels: int = 1,
+                    channel_voxel_relation: str = "indep"
+                    ) -> List[Tuple[int, ...]]:
+    """Sorted (channel, *spatial) offset tuples (see module docstring)."""
+    coords = _gen_coords_nd(radius, spatial_dims)
+    offsets = [(0,) + s for s in coords]
+    if channel_voxel_relation != "indep":
+        for c in range(1, num_channels):
+            offsets.append((c,) + tuple(0 for _ in range(spatial_dims)))
+    if channel_voxel_relation == "inter":
+        for c in range(1, num_channels):
+            offsets.extend([(c,) + s for s in coords])
+
+    def first_nonzero_sign(t):
+        for v in t:
+            if v != 0:
+                return 1 if v > 0 else -1
+        return 0
+
+    if upper is False:
+        offsets = [o for o in offsets if first_nonzero_sign(o) > 0]
+    elif upper is True:
+        offsets = [o for o in offsets if first_nonzero_sign(o) < 0]
+
+    return sorted(
+        offsets,
+        key=lambda x: (sum(v * v for v in ((10 * x[0],) + x[1:])),
+                       tuple(map(abs, x)), tuple(v >= 0 for v in x)))
+
+
+def calc_pairwise_coo_indices_nd(
+        radius: float, volume_shape: Tuple[int, ...], diag: bool = False,
+        upper: Optional[bool] = None,
+        channel_voxel_relation: str = "indep",
+        index_dtype=np.int64) -> Dict[Tuple[int, ...], np.ndarray]:
+    """Per-offset (2, M) linear index pairs for a (C, *spatial) volume.
+
+    The second row is the first shifted by the offset, restricted to
+    in-bounds pairs (double trim, no wrap/no padding).  Linearisation is
+    row-major over the full volume shape.
+    """
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    if not (len(volume_shape) >= 2
+            and all(isinstance(d, (int, np.integer)) and d > 0
+                    for d in volume_shape)):
+        raise ValueError("volume_shape must be a tuple of at least 2 "
+                         "positive integers")
+    if channel_voxel_relation not in ("indep", "intra", "inter"):
+        raise ValueError(
+            "channel_voxel_relation must be 'indep', 'intra', or 'inter'")
+    if volume_shape[0] == 1 and channel_voxel_relation != "indep":
+        raise ValueError("channel_voxel_relation must be 'indep' when "
+                         "number of channels is 1")
+    spatial_dims = len(volume_shape) - 1
+    offsets = _gen_offsets_nd(radius, spatial_dims, upper, volume_shape[0],
+                              channel_voxel_relation)
+    numel = reduce(mul, volume_shape)
+    idx = np.arange(numel, dtype=np.dtype(index_dtype)).reshape(volume_shape)
+    indices: Dict[Tuple[int, ...], np.ndarray] = {}
+    if diag:
+        zero = tuple(0 for _ in range(len(volume_shape)))
+        flat = idx.reshape(-1)
+        indices[zero] = np.stack([flat, flat])
+    for off in offsets:
+        x1 = _trim_nd(idx, off).reshape(-1)
+        x2 = _trim_nd(idx, tuple(-o for o in off)).reshape(-1)
+        indices[off] = np.stack([x1, x2])
+    return indices
+
+
+class PairwiseEncoder:
+    """Encode per-offset neighborhood values as one sparse matrix.
+
+    Args:
+      radius: spatial neighborhood radius (>= 1).
+      volume_shape: ``(C, *spatial_dims)``.
+      diag: include the diagonal (self-pair) offset.
+      upper: triangular selection — True keeps offsets whose first non-zero
+        is negative (upper triangle), False the positive ones, None all.
+      channel_voxel_relation: 'indep' | 'intra' | 'inter'.
+      layout: "coo" or "csr" output container.
+      index_dtype: int32 (TPU-friendly default) or int64.
+
+    ``__call__(values)`` with values of shape ``[(B), N, C, *spatial]``
+    (``N == len(self.offsets)``) returns a sparse ``[(B), S, S]`` container
+    with ``S = C * prod(spatial)``.
+    """
+
+    def __init__(self, radius: float, volume_shape: Tuple[int, ...],
+                 diag: bool = False, upper: Optional[bool] = None,
+                 channel_voxel_relation: str = "indep",
+                 layout: str = "coo", index_dtype=np.int32):
+        if layout not in ("coo", "csr"):
+            raise ValueError("layout must be 'coo' or 'csr'")
+        if np.dtype(index_dtype) not in (np.dtype(np.int32),
+                                         np.dtype(np.int64)):
+            raise ValueError("index_dtype must be int32 or int64")
+        self.radius = radius
+        self.volume_shape = tuple(int(s) for s in volume_shape)
+        self.diag = diag
+        self.upper = upper
+        self.channel_voxel_relation = channel_voxel_relation
+        self.layout = layout
+        self.index_dtype = np.dtype(index_dtype)
+        self.volume_numel = reduce(mul, self.volume_shape)
+        self.spatial_dims = len(self.volume_shape) - 1
+
+        idx_dict = calc_pairwise_coo_indices_nd(
+            radius, self.volume_shape, diag, upper, channel_voxel_relation,
+            index_dtype)
+        self.offsets = list(idx_dict.keys())
+        indices = np.concatenate([idx_dict[o] for o in self.offsets], axis=1)
+        self.indices = indices  # (2, nnz) in offset order
+        nnz = indices.shape[1]
+        self.nnz = nnz
+
+        rows, cols = indices[0].astype(np.int64), indices[1].astype(np.int64)
+        keys = rows * self.volume_numel + cols
+        uniq, inv = np.unique(keys, return_inverse=True)
+        self._has_duplicates = len(uniq) != nnz
+        if self._has_duplicates:
+            # coalesce semantics: merge duplicate pairs via a segment map
+            self._segment_map = inv.astype(np.int32)
+            self._out_rows = (uniq // self.volume_numel).astype(
+                self.index_dtype)
+            self._out_cols = (uniq % self.volume_numel).astype(
+                self.index_dtype)
+            self._out_nnz = len(uniq)
+        else:
+            order = np.lexsort((cols, rows))
+            self._coo_perm = order.astype(np.int64)
+            self._out_rows = indices[0][order]
+            self._out_cols = indices[1][order]
+            self._out_nnz = nnz
+        if layout == "csr":
+            counts = np.bincount(self._out_rows.astype(np.int64),
+                                 minlength=self.volume_numel)
+            indptr = np.zeros(self.volume_numel + 1, self.index_dtype)
+            np.cumsum(counts, out=indptr[1:])
+            self.crow_indices = indptr
+            self.col_indices = self._out_cols
+
+    def _calc_values(self, values):
+        """(N, C, *S) -> flattened (nnz,) values in offset order."""
+        parts = []
+        for k, off in enumerate(self.offsets):
+            parts.append(_trim_nd(values[k], off).reshape(-1))
+        return jnp.concatenate(parts)
+
+    def __call__(self, values) -> Union[SparseCOO, SparseCSR]:
+        values = jnp.asarray(values) if not isinstance(
+            values, jax.core.Tracer) else values
+        full = self.spatial_dims + 2
+        if values.ndim not in (full, full + 1):
+            raise ValueError(
+                f"values must have {full} dimensions (N, C, *spatial) or "
+                f"{full + 1} dimensions (B, N, C, *spatial)")
+        if tuple(values.shape[-self.spatial_dims:]) != \
+                self.volume_shape[1:]:
+            raise ValueError(
+                f"Spatial dimensions do not match: expected "
+                f"{self.volume_shape[1:]}, got "
+                f"{tuple(values.shape[-self.spatial_dims:])}")
+        if values.shape[-full] != len(self.offsets):
+            raise ValueError(
+                f"Shape of values at index {-full} "
+                f"({values.shape[-full]}) must match number of offsets "
+                f"({len(self.offsets)})")
+        if not jnp.issubdtype(values.dtype, jnp.floating):
+            raise ValueError("values must have a floating dtype")
+        batched = values.ndim == full + 1
+        if batched:
+            flat = jax.vmap(self._calc_values)(values)
+        else:
+            flat = self._calc_values(values)
+
+        if self._has_duplicates:
+            seg = jnp.asarray(self._segment_map)
+            red = lambda v: jax.ops.segment_sum(
+                v, seg, num_segments=self._out_nnz)
+            flat = jax.vmap(red)(flat) if batched else red(flat)
+        else:
+            perm = jnp.asarray(self._coo_perm)
+            flat = jnp.take(flat, perm, axis=-1)
+
+        S = self.volume_numel
+        shape = ((values.shape[0], S, S) if batched else (S, S))
+        if self.layout == "coo":
+            return SparseCOO(self._out_rows, self._out_cols, flat, shape)
+        return SparseCSR(self.crow_indices, self.col_indices, flat, shape)
+
+
+class PairwiseVoxelEncoder(PairwiseEncoder):
+    """Deprecated 3-D (C, H, D, W) wrapper (reference
+    pairwise_voxel_encoder.py:20-118)."""
+
+    def __init__(self, radius: float, volume_shape: Tuple[int, int, int, int],
+                 *args, **kwargs):
+        warnings.warn("PairwiseVoxelEncoder is deprecated; use "
+                      "PairwiseEncoder", DeprecationWarning, stacklevel=2)
+        if len(volume_shape) != 4:
+            raise ValueError("volume_shape must be (C, H, D, W)")
+        super().__init__(radius, volume_shape, *args, **kwargs)
