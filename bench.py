@@ -1,0 +1,94 @@
+"""Headline benchmark: sparse_mm forward+backward at SuiteSparse cfd2 scale.
+
+Matches the reference's headline configuration (BASELINE.md):
+Rothberg/cfd2-sized matrix — N = 123,440 rows, nnz = 3,087,898, RHS
+M = 128 columns, CSR f32/int32 — measuring forward SpMM and the
+sparsity-preserving backward (SDDMM gradA + Aᵀ G gradB), wall-clock with
+``block_until_ready``, IQR outlier trimming.
+
+Reference numbers (RTX 4090, torch 2.8): fwd 722 µs, bwd 73.1 ms
+→ combined 73.8 ms.  vs_baseline = reference_time / our_time (>1 = faster).
+
+Prints ONE JSON line on stdout; details go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_FWD_MS = 0.722
+REF_BWD_MS = 73.1
+
+N_ROWS = 123_440
+NNZ = 3_087_898
+M_RHS = 128
+
+
+def trimmed_mean(xs):
+    xs = np.sort(np.asarray(xs))
+    q1, q3 = np.percentile(xs, [25, 75])
+    iqr = q3 - q1
+    keep = xs[(xs >= q1 - 1.5 * iqr) & (xs <= q3 + 1.5 * iqr)]
+    return float(keep.mean())
+
+
+def bench(fn, args, n_warmup=5, n_runs=30):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(n_warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return trimmed_mean(times)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from torchsparsegradutils_tpu import sparse_mm
+    from torchsparsegradutils_tpu.utils import rand_sparse
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
+          file=sys.stderr)
+    key = jax.random.PRNGKey(0)
+    kA, kB, kG = jax.random.split(key, 3)
+    A = rand_sparse(kA, (N_ROWS, N_ROWS), NNZ, layout="csr")
+    B = jax.random.normal(kB, (N_ROWS, M_RHS), jnp.float32)
+    G = jax.random.normal(kG, (N_ROWS, M_RHS), jnp.float32)
+
+    fwd = jax.jit(lambda data, B: sparse_mm(A.with_data(data), B))
+
+    def loss(data, B):
+        return (sparse_mm(A.with_data(data), B) * G).sum()
+
+    bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    fwd_ms = bench(fwd, (A.data, B))
+    bwd_ms = bench(bwd, (A.data, B))
+    total_ms = fwd_ms + bwd_ms
+    ref_total = REF_FWD_MS + REF_BWD_MS
+
+    # effective bandwidth of the forward (bytes touched ~ nnz*(4+4) + out)
+    bytes_fwd = NNZ * (4 + 4 + 4 * M_RHS) + N_ROWS * M_RHS * 4 * 2
+    gbps = bytes_fwd / (fwd_ms / 1e3) / 1e9
+    print(f"fwd {fwd_ms:.3f} ms ({gbps:.0f} GB/s eff), bwd {bwd_ms:.3f} ms,"
+          f" total {total_ms:.3f} ms (ref {ref_total:.1f} ms)",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sparse_mm fwd+bwd wall-clock, cfd2-scale "
+                  "(N=123440, nnz=3.09M, M=128, CSR f32)",
+        "value": round(total_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(ref_total / total_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

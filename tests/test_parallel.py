@@ -1,0 +1,103 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh: row-sharded
+SpMM equivalence, 2-D (dp x tp) training step correctness vs the
+single-device loss, and loss decrease over steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from torchsparsegradutils_tpu.parallel import (
+    init_params,
+    loss_fn,
+    make_model,
+    make_train_step,
+    shard_rows,
+    sharded_sparse_mm,
+)
+from torchsparsegradutils_tpu.utils import rand_sparse
+
+
+def _mesh1d(axis="x", n=8):
+    return Mesh(np.array(jax.devices()[:n]), (axis,))
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_spmm_matches_dense(key):
+    A = rand_sparse(key, (50, 30), 200)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (30, 7))
+    mesh = _mesh1d()
+    M = shard_rows(A, 8)
+    out = sharded_sparse_mm(M, B, mesh, "x")
+    ref = A.todense() @ B
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sharded_spmm_grad(key):
+    A = rand_sparse(key, (24, 24), 80)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (24, 3))
+    mesh = _mesh1d(n=4)
+    M = shard_rows(A, 4)
+
+    def loss(data, B):
+        M2 = type(M)(local_rows=M.local_rows, cols=M.cols, data=data,
+                     shape=M.shape, rows_per_shard=M.rows_per_shard,
+                     n_shards=M.n_shards)
+        return (sharded_sparse_mm(M2, B, mesh, "x") ** 2).sum()
+
+    g_data, g_B = jax.grad(loss, argnums=(0, 1))(M.data, B)
+    ref_gB = jax.grad(lambda B: ((A.todense() @ B) ** 2).sum())(B)
+    np.testing.assert_allclose(np.asarray(g_B), np.asarray(ref_gB),
+                               rtol=1e-4, atol=1e-5)
+    assert g_data.shape == M.data.shape
+
+
+def test_train_step_matches_single_device(key):
+    enc = make_model((1, 4, 4), radius=1.0)
+    params = init_params(key, enc)
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (16, enc.volume_numel))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "tp"))
+    step = make_train_step(enc, mesh, lr=0.0)  # lr=0: loss check only
+    _, loss_sharded = step(params, x)
+    loss_ref = loss_fn(params, x, enc)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_ref),
+                               rtol=1e-5)
+
+
+def test_train_step_decreases_loss(key):
+    enc = make_model((1, 4, 4), radius=1.0)
+    params = init_params(key, enc)
+    # observations from a correlated Gaussian
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (32, enc.volume_numel))
+    x = x.at[:, 1:].add(0.5 * x[:, :-1])
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    step = make_train_step(enc, mesh, lr=5e-2)
+    losses = []
+    for _ in range(10):
+        params, l = step(params, x)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_grad_matches_single_device(key):
+    enc = make_model((1, 3, 3), radius=1.0)
+    params = init_params(key, enc)
+    x = jax.random.normal(jax.random.fold_in(key, 1),
+                          (8, enc.volume_numel))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+    step = make_train_step(enc, mesh, lr=1.0)
+    new_params, _ = step(params, x)
+    g_ref = jax.grad(lambda p: loss_fn(p, x, enc))(params)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(new_params[k]),
+            np.asarray(params[k]) - np.asarray(g_ref[k]),
+            rtol=1e-4, atol=1e-5)

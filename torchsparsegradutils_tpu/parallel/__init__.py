@@ -1,0 +1,12 @@
+from .sharding import RowShardedMatrix, shard_rows, sharded_sparse_mm
+from .training import init_params, loss_fn, make_model, make_train_step
+
+__all__ = [
+    "RowShardedMatrix",
+    "shard_rows",
+    "sharded_sparse_mm",
+    "init_params",
+    "loss_fn",
+    "make_model",
+    "make_train_step",
+]
