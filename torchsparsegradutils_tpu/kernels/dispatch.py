@@ -19,6 +19,7 @@ def on_tpu() -> bool:
         return False
 
 
-def spmm_pallas(n, row, col, data, B):
-    """Pallas SpMM hook; None -> XLA fallback."""
+def spmm_pallas(A, B):
+    """Pallas SpMM hook for a 2-D static-pattern container; None -> XLA
+    fallback."""
     return None

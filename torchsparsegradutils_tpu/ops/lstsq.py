@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..types import is_sparse
 from .common import sparse_cotangent
-from .spmm import _sddmm_core, sparse_mm
+from .spmm import sddmm, sparse_mm
 
 __all__ = ["sparse_generic_lstsq"]
 
@@ -71,16 +71,14 @@ def _lstsq_cv(lstsq: Callable, transpose_lstsq: Callable):
         gradB = transpose_lstsq(A, g2)
         if gradB.ndim == 1:
             gradB = gradB[:, None]
-        row = jnp.asarray(A.rows())
-        col = jnp.asarray(A.cols())
         # term 1: -gradB x^T at nnz
-        u1 = -_sddmm_core(row, col, gradB, x2)
+        u1 = -sddmm(A, gradB, x2).data
         # term 2: (B - A x)(A^+ gradB)^T at nnz
         mresid = B2 - sparse_mm(A, x2)
         apgb = lstsq(A, gradB)
         if apgb.ndim == 1:
             apgb = apgb[:, None]
-        u2 = _sddmm_core(row, col, mresid, apgb)
+        u2 = sddmm(A, mresid, apgb).data
         d_B = gradB[:, 0] if g.ndim == 1 else gradB
         return sparse_cotangent(A, u1 + u2), d_B
 

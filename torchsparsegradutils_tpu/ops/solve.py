@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..types import is_sparse
 from .common import freeze_kwargs, sparse_cotangent
-from .spmm import _sddmm_core
+from .spmm import sddmm
 
 __all__ = ["sparse_generic_solve"]
 
@@ -64,11 +64,9 @@ def _solve_cv(solve: Callable, transpose_solve: Callable, fkw: tuple):
         if gradB.dtype != A.dtype:
             gradB = gradB.astype(A.dtype)
         # gradA[i,j] = -dot(gradB[i,:], x[j,:]) at A's nonzeros
-        row = jnp.asarray(A.rows())
-        col = jnp.asarray(A.cols())
         gradB2 = gradB[:, None] if gradB.ndim == 1 else gradB
         x2 = x[:, None] if x.ndim == 1 else x
-        vals = -_sddmm_core(row, col, gradB2, x2)
+        vals = -sddmm(A, gradB2, x2).data
         return sparse_cotangent(A, vals), gradB
 
     f.defvjp(fwd, bwd)

@@ -9,20 +9,23 @@ TPU-native rebuild of the reference's core mechanism
   ``gradB = Aᵀ @ grad`` — so gradients stay O(nnz) where a naive rule
   would materialise the dense ``G @ Bᵀ``.
 * ``sddmm(A, X, Y)`` — the shared gradient-sampling primitive
-  (``out[i,j] = dot(X[i,:], Y[j,:])`` at A's pattern), exposed publicly and
-  reused by every solve/lstsq VJP in this library (the reference re-inlines
-  this recipe five times; here it is one differentiable primitive).
+  (``out[i,j] = dot(X[i,:], Y[j,:])`` at A's pattern), reused by every
+  solve/lstsq VJP in this library (the reference re-inlines this recipe
+  five times; here it is one differentiable primitive).
 
-Design notes (TPU-first):
+Execution strategy (TPU-first; measured on v5e — see kernels/ell.py):
+static patterns are repacked host-side into cached row-ELL and
+column-ELL (transpose) plans so that **every** forward and backward is
+scatter-free — gathers only, which run ~an order of magnitude faster than
+scatter-adds on TPU:
 
-* Batching is ``jax.vmap`` over leading dims — NOT the reference's
-  block-diagonalisation (sparse_matmul.py:151-153), which would produce
-  dynamic layouts XLA can't tile.
-* The XLA path lowers to gather + segment-sum, which XLA/Mosaic map well;
-  a Pallas BCSR kernel can be selected with ``backend="pallas"`` for large
-  matrices (see ``torchsparsegradutils_tpu.kernels``).
-* Integer index inputs receive ``float0`` cotangents, making the custom
-  VJPs valid under ``jit`` / ``vmap`` / higher-order ``grad``.
+  fwd      out = Σ_k ev[i,k]·B[ec[i,k]]      (row-ELL gather + contract)
+  d_data   X=G streams row-aligned, Y=B gathered (row-ELL SDDMM)
+  d_B      Aᵀ@G via the column-ELL plan      (gather G rows)
+
+Dynamic patterns (traced indices) and degree-skewed patterns fall back to
+gather + ``segment_sum``.  Batching is ``jax.vmap`` over leading dims —
+NOT the reference's block-diagonalisation (sparse_matmul.py:151-153).
 """
 
 from __future__ import annotations
@@ -33,86 +36,133 @@ from typing import Union
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.dtypes import float0
 
+from ..kernels.ell import build_ell_plan, ell_sddmm, ell_spmm
 from ..types import SparseCOO, SparseCSR, is_sparse
+from .common import sparse_cotangent
 
 __all__ = ["sparse_mm", "sddmm"]
 
 
-def _int_zero(x):
-    return np.zeros(jnp.shape(x), dtype=float0)
-
-
 # --------------------------------------------------------------------------
-# core custom-vjp kernels (unbatched, raw arrays)
+# plan lookup
 # --------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _spmm_core(n, sorted_rows, backend, row, col, data, B):
-    return _spmm_impl(n, sorted_rows, backend, row, col, data, B)
+def _plans(A, backend: str):
+    """(row_plan, col_plan) for a 2-D static, unbatched pattern; else
+    (None, None).
+
+    NOTE: measured end-to-end on v5e, the straightforward gather +
+    segment-sum formulation benefits from XLA CSE across the fused
+    forward+backward (shared G gathers) and beats piecewise-optimal ELL
+    compositions; ELL therefore runs only on explicit ``backend="ell"``
+    (it wins for standalone forwards with low row-degree skew)."""
+    if backend != "ell":
+        return None, None
+    rs, cs = A.row_sa(), A.col_sa()
+    if rs is None or cs is None or rs.arr.ndim != 1:
+        return None, None
+    n, m = A.mat_shape
+    return (build_ell_plan(rs, cs, n, m), build_ell_plan(cs, rs, m, n))
 
 
-def _spmm_impl(n, sorted_rows, backend, row, col, data, B):
-    if backend == "pallas":
-        from ..kernels import dispatch
-        out = dispatch.spmm_pallas(n, row, col, data, B)
-        if out is not None:
-            return out
-    prod = data[:, None] * jnp.take(B, col, axis=0)
-    return jax.ops.segment_sum(prod, row, num_segments=n,
+def _fallback_spmm(n, sorted_rows, row, col, data, B):
+    prod = data[:, None] * jnp.take(B, jnp.asarray(col), axis=0)
+    return jax.ops.segment_sum(prod, jnp.asarray(row), num_segments=n,
                                indices_are_sorted=sorted_rows)
 
 
-def _spmm_fwd(n, sorted_rows, backend, row, col, data, B):
-    return _spmm_core(n, sorted_rows, backend, row, col, data, B), \
-        (row, col, data, B)
+def _fallback_sddmm(row, col, X, Y):
+    return (jnp.take(X, jnp.asarray(row), axis=0)
+            * jnp.take(Y, jnp.asarray(col), axis=0)).sum(-1)
 
 
-def _spmm_bwd(n, sorted_rows, backend, res, g):
-    row, col, data, B = res
-    # gradA sampled at the pattern: SDDMM(g, B) at (row, col)
-    d_data = _sddmm_core(row, col, g, B)
-    # gradB = Aᵀ @ g : scatter-add over columns
-    d_B = jax.ops.segment_sum(data[:, None] * jnp.take(g, row, axis=0),
-                              col, num_segments=B.shape[0])
-    return (_int_zero(row), _int_zero(col), d_data, d_B)
+def _spmm_forward(backend, A, B):
+    rp, _ = _plans(A, backend)
+    if backend == "pallas":
+        from ..kernels import dispatch
+        out = dispatch.spmm_pallas(A, B)
+        if out is not None:
+            return out
+    if rp is not None:
+        return ell_spmm(rp, A.data, B)
+    return _fallback_spmm(A.shape[-2], A.layout == "csr", A.rows(),
+                          A.cols(), A.data, B)
 
 
-_spmm_core.defvjp(_spmm_fwd, _spmm_bwd)
+def _sddmm_values(backend, A, X, Y):
+    rp, _ = _plans(A, backend)
+    if rp is not None:
+        return ell_sddmm(rp, X, Y)
+    return _fallback_sddmm(A.rows(), A.cols(), X, Y)
 
 
-@jax.custom_vjp
-def _sddmm_core(row, col, X, Y):
-    return (jnp.take(X, row, axis=0) * jnp.take(Y, col, axis=0)).sum(-1)
+def _spmm_transpose(backend, A, G):
+    """Aᵀ @ G (n, p) -> (m, p).
 
-
-def _sddmm_fwd(row, col, X, Y):
-    return _sddmm_core(row, col, X, Y), (row, col, X, Y)
-
-
-def _sddmm_bwd(res, g):
-    row, col, X, Y = res
-    d_X = jax.ops.segment_sum(g[:, None] * jnp.take(Y, col, axis=0), row,
-                              num_segments=X.shape[0])
-    d_Y = jax.ops.segment_sum(g[:, None] * jnp.take(X, row, axis=0), col,
-                              num_segments=Y.shape[0])
-    return (_int_zero(row), _int_zero(col), d_X, d_Y)
-
-
-_sddmm_core.defvjp(_sddmm_fwd, _sddmm_bwd)
+    Measured: the unsorted segment-sum fuses with the shared G gather in
+    the combined backward and edges out the col-ELL variant (which pays an
+    unsorted conversion scatter); col-ELL is used only on explicit
+    ``backend="ell"``."""
+    if backend == "ell":
+        _, cp = _plans(A, backend)
+        if cp is not None:
+            return ell_spmm(cp, A.data, G)
+    m = A.shape[-1]
+    prod = A.data[:, None] * jnp.take(G, jnp.asarray(A.rows()), axis=0)
+    return jax.ops.segment_sum(prod, jnp.asarray(A.cols()),
+                               num_segments=m)
 
 
 # --------------------------------------------------------------------------
-# container-level helpers
+# container-level custom VJPs (2-D cores)
 # --------------------------------------------------------------------------
 
-def _row_col(A) -> tuple:
-    """(row, col, sorted_rows) as jnp-usable arrays for any layout."""
-    if isinstance(A, SparseCOO):
-        return A.rows(), A.cols(), False
-    return A.rows(), A.cols(), True
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_cv(backend, A, B):
+    return _spmm_forward(backend, A, B)
 
+
+def _spmm_cv_fwd(backend, A, B):
+    return _spmm_cv(backend, A, B), (A, B)
+
+
+def _spmm_cv_bwd(backend, res, g):
+    A, B = res
+    d_data = _sddmm_cv(backend, A, g, B).data
+    d_B = _spmm_transpose(backend, A, g)
+    return sparse_cotangent(A, d_data), d_B
+
+
+_spmm_cv.defvjp(_spmm_cv_fwd, _spmm_cv_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sddmm_cv(backend, A, X, Y):
+    return A.with_data(_sddmm_values(backend, A, X, Y))
+
+
+def _sddmm_cv_fwd(backend, A, X, Y):
+    return _sddmm_cv(backend, A, X, Y), (A, X, Y)
+
+
+def _sddmm_cv_bwd(backend, res, ct):
+    A, X, Y = res
+    g = ct.data  # cotangent container: values cotangent
+    G_sp = A.with_data(g)
+    # d_X[i] = Σ_e∈row(i) g_e · Y[col_e]  == (pattern∘g) @ Y
+    d_X = _spmm_forward(backend, G_sp, Y)
+    # d_Y[j] = Σ_e∈col(j) g_e · X[row_e]  == (pattern∘g)ᵀ @ X
+    d_Y = _spmm_transpose(backend, G_sp, X)
+    return sparse_cotangent(A, jnp.zeros_like(A.data)), d_X, d_Y
+
+
+_sddmm_cv.defvjp(_sddmm_cv_fwd, _sddmm_cv_bwd)
+
+
+# --------------------------------------------------------------------------
+# public ops
+# --------------------------------------------------------------------------
 
 def _check_sparse_dense(A, B, op_name: str):
     if not is_sparse(A):
@@ -130,6 +180,31 @@ def _check_sparse_dense(A, B, op_name: str):
     return B
 
 
+def _elem(A, i):
+    """Unbatched view of batch element i of a batched container.  Shared
+    (1-D) patterns reuse the existing index wrappers (no re-hashing)."""
+    from ..types import StaticArray
+
+    def narrow(x):
+        arr = x.arr if isinstance(x, StaticArray) else x
+        if getattr(arr, "ndim", 1) == 1:
+            return x  # shared pattern: reuse wrapper as-is
+        arr = arr[i]
+        return StaticArray(np.ascontiguousarray(arr)) if isinstance(
+            x, StaticArray) else arr
+
+    if isinstance(A, SparseCOO):
+        obj = object.__new__(SparseCOO)
+        obj.row, obj.col = narrow(A.row), narrow(A.col)
+    else:
+        obj = object.__new__(SparseCSR)
+        obj.indptr, obj.indices = narrow(A.indptr), narrow(A.indices)
+    obj.data = A.data[i]
+    obj.shape = A.shape[-2:]
+    obj.pattern_static = A.pattern_static
+    return obj
+
+
 def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto"):
     """Multiply a sparse matrix by a dense matrix: ``A @ B``.
 
@@ -138,7 +213,7 @@ def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto"):
         w.r.t. ``A`` are returned only at its stored nonzeros.
       B: dense ``(m, p)`` or ``(b, m, p)`` array; batch dims must match A's
         (one side may be unbatched and is broadcast).
-      backend: "auto" | "xla" | "pallas".
+      backend: "auto" | "ell" | "xla" | "pallas".
 
     Returns:
       Dense ``(n, p)`` / ``(b, n, p)`` array.
@@ -157,29 +232,54 @@ def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto"):
         raise ValueError(f"sparse_mm: batch dims disagree, {A.shape[0]} vs "
                          f"{B.shape[0]}")
 
-    n = A.shape[-2]
-    row, col, srt = _row_col(A)
-    core = lambda r, c, d, b: _spmm_core(n, srt, backend, r, c, d, b)
-
     if A.ndim == 2 and B.ndim == 2:
-        return core(row, col, A.data, B)
+        return _spmm_cv(backend, A, B)
     if A.ndim == 2:  # B batched
-        return jax.vmap(lambda b: core(row, col, A.data, b))(B)
+        return jax.vmap(lambda b: _spmm_cv(backend, A, b))(B)
     # A batched
-    data = A.data
-    if row.ndim == 1:  # shared pattern
+    A0 = _elem(A, 0)
+    if not A.indices_batched():  # shared pattern: vmap over data
         if B.ndim == 2:
-            return jax.vmap(lambda d: core(row, col, d, B))(data)
-        return jax.vmap(lambda d, b: core(row, col, d, b))(data, B)
-    row = jnp.asarray(row)
-    col = jnp.asarray(col)
+            return jax.vmap(lambda d: _spmm_cv(backend, A0.with_data(d), B)
+                            )(A.data)
+        return jax.vmap(lambda d, b: _spmm_cv(backend, A0.with_data(d), b)
+                        )(A.data, B)
+    # per-element patterns: traced-index fallback under one vmap
+    row = jnp.asarray(A.rows())
+    col = jnp.asarray(A.cols())
+    n = A.shape[-2]
+    core = lambda r, c, d, b: _dyn_spmm(n, r, c, d, b)
     if B.ndim == 2:
-        return jax.vmap(lambda r, c, d: core(r, c, d, B))(row, col, data)
-    return jax.vmap(core)(row, col, data, B)
+        return jax.vmap(lambda r, c, d: core(r, c, d, B))(row, col, A.data)
+    return jax.vmap(core)(row, col, A.data, B)
 
 
-def sddmm(A: Union[SparseCOO, SparseCSR], X, Y,
-          *, backend: str = "auto"):
+@jax.custom_vjp
+def _dyn_spmm(n, row, col, data, B):
+    return _fallback_spmm(n, False, row, col, data, B)
+
+
+if True:  # wire VJP for the dynamic-pattern raw-array core
+    from jax.dtypes import float0
+
+    def _int_zero(x):
+        return np.zeros(jnp.shape(x), dtype=float0)
+
+    def _dyn_spmm_fwd(n, row, col, data, B):
+        return _dyn_spmm(n, row, col, data, B), (row, col, data, B)
+
+    def _dyn_spmm_bwd(res, g):
+        row, col, data, B = res
+        d_data = _fallback_sddmm(row, col, g, B)
+        d_B = jax.ops.segment_sum(
+            data[:, None] * jnp.take(g, row, axis=0), col,
+            num_segments=B.shape[0])
+        return (None, _int_zero(row), _int_zero(col), d_data, d_B)
+
+    _dyn_spmm.defvjp(_dyn_spmm_fwd, _dyn_spmm_bwd)
+
+
+def sddmm(A: Union[SparseCOO, SparseCSR], X, Y, *, backend: str = "auto"):
     """Sampled dense-dense matmul: ``(X @ Yᵀ)`` evaluated at A's pattern.
 
     Args:
@@ -207,10 +307,8 @@ def sddmm(A: Union[SparseCOO, SparseCSR], X, Y,
     if X.shape[-2] != A.shape[-2] or Y.shape[-2] != A.shape[-1]:
         raise ValueError(f"sddmm: X {X.shape} / Y {Y.shape} do not match "
                          f"pattern shape {A.shape}")
-    row, col, _ = _row_col(A)
     if A.ndim == 2 and X.ndim == 2:
-        return A.with_data(_sddmm_core(jnp.asarray(row), jnp.asarray(col),
-                                       X, Y))
+        return _sddmm_cv(backend, A, X, Y)
     if A.ndim == 2 and X.ndim == 3:
         raise ValueError("sddmm: batched X/Y with an unbatched pattern is "
                          "ambiguous; pass a batched pattern container")
@@ -218,12 +316,37 @@ def sddmm(A: Union[SparseCOO, SparseCSR], X, Y,
         if X.ndim == 2:
             X = jnp.broadcast_to(X, (A.shape[0],) + X.shape)
             Y = jnp.broadcast_to(Y, (A.shape[0],) + Y.shape)
-        if row.ndim == 1:
-            vals = jax.vmap(lambda x, y: _sddmm_core(
-                jnp.asarray(row), jnp.asarray(col), x, y))(X, Y)
+        if not A.indices_batched():
+            A0 = _elem(A, 0)
+            vals = jax.vmap(lambda x, y: _sddmm_cv(backend, A0, x, y).data
+                            )(X, Y)
         else:
-            vals = jax.vmap(_sddmm_core)(jnp.asarray(row), jnp.asarray(col),
-                                         X, Y)
+            row = jnp.asarray(A.rows())
+            col = jnp.asarray(A.cols())
+            vals = jax.vmap(_dyn_sddmm)(row, col, X, Y)
         return A.with_data(vals)
     raise ValueError(f"sddmm: unsupported ndim combination A={A.ndim}, "
                      f"X={X.ndim}")
+
+
+@jax.custom_vjp
+def _dyn_sddmm(row, col, X, Y):
+    return _fallback_sddmm(row, col, X, Y)
+
+
+def _dyn_sddmm_fwd(row, col, X, Y):
+    return _dyn_sddmm(row, col, X, Y), (row, col, X, Y)
+
+
+def _dyn_sddmm_bwd(res, g):
+    from jax.dtypes import float0
+    row, col, X, Y = res
+    d_X = jax.ops.segment_sum(g[:, None] * jnp.take(Y, col, axis=0), row,
+                              num_segments=X.shape[0])
+    d_Y = jax.ops.segment_sum(g[:, None] * jnp.take(X, row, axis=0), col,
+                              num_segments=Y.shape[0])
+    return (np.zeros(jnp.shape(row), dtype=float0),
+            np.zeros(jnp.shape(col), dtype=float0), d_X, d_Y)
+
+
+_dyn_sddmm.defvjp(_dyn_sddmm_fwd, _dyn_sddmm_bwd)

@@ -43,7 +43,7 @@ import numpy as np
 
 from ..types import SparseCOO, SparseCSR, StaticArray, is_sparse
 from .common import sparse_cotangent
-from .spmm import _sddmm_core
+from .spmm import sddmm
 
 __all__ = ["sparse_triangular_solve"]
 
@@ -211,14 +211,12 @@ def _tri_cv(upper: bool, unit: bool, transpose: bool, algorithm: str,
         A, x = res
         gradB = _tri_cv(upper, unit, not transpose, algorithm,
                         block_size)(A, g)
-        row = jnp.asarray(A.rows())
-        col = jnp.asarray(A.cols())
         # non-transpose: gradA[i,j] = -dot(gradB[i,:], x[j,:])
         # transpose:     gradA[i,j] = -dot(x[i,:], gradB[j,:])
         if transpose:
-            vals = -_sddmm_core(row, col, x, gradB)
+            vals = -sddmm(A, x, gradB).data
         else:
-            vals = -_sddmm_core(row, col, gradB, x)
+            vals = -sddmm(A, gradB, x).data
         return sparse_cotangent(A, vals), gradB
 
     f.defvjp(fwd, bwd)

@@ -244,6 +244,29 @@ class SparseCOO(_SparseBase):
     def layout(self) -> str:
         return "coo"
 
+    def row_sa(self) -> Optional["StaticArray"]:
+        """Content-hashed row indices, or None for traced patterns."""
+        if isinstance(self.row, StaticArray):
+            return self.row
+        if isinstance(self.row, jax.core.Tracer):
+            return None
+        sa = getattr(self, "_row_sa_cache", None)
+        if sa is None:
+            sa = StaticArray(np.asarray(self.row))
+            object.__setattr__(self, "_row_sa_cache", sa)
+        return sa
+
+    def col_sa(self) -> Optional["StaticArray"]:
+        if isinstance(self.col, StaticArray):
+            return self.col
+        if isinstance(self.col, jax.core.Tracer):
+            return None
+        sa = getattr(self, "_col_sa_cache", None)
+        if sa is None:
+            sa = StaticArray(np.asarray(self.col))
+            object.__setattr__(self, "_col_sa_cache", sa)
+        return sa
+
     def rows(self) -> Array:
         """Row indices as a jax-usable array, shape ``(*patt_batch?, nnz)``."""
         return _unwrap(self.row)
@@ -454,6 +477,27 @@ class SparseCSR(_SparseBase):
     @property
     def layout(self) -> str:
         return "csr"
+
+    def row_sa(self) -> Optional["StaticArray"]:
+        """Content-hashed decompressed row indices (cached), or None."""
+        if isinstance(self.indptr, jax.core.Tracer):
+            return None
+        sa = getattr(self, "_row_sa_cache", None)
+        if sa is None:
+            sa = StaticArray(self.rows_np())
+            object.__setattr__(self, "_row_sa_cache", sa)
+        return sa
+
+    def col_sa(self) -> Optional["StaticArray"]:
+        if isinstance(self.indices, StaticArray):
+            return self.indices
+        if isinstance(self.indices, jax.core.Tracer):
+            return None
+        sa = getattr(self, "_col_sa_cache", None)
+        if sa is None:
+            sa = StaticArray(np.asarray(self.indices))
+            object.__setattr__(self, "_col_sa_cache", sa)
+        return sa
 
     def indptr_arr(self) -> Array:
         return _unwrap(self.indptr)
