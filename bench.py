@@ -34,17 +34,21 @@ def trimmed_mean(xs):
     return float(keep.mean())
 
 
-def bench(fn, args, n_warmup=5, n_runs=30):
+def bench(fn, args, n_warmup=5, n_runs=30, pipeline=5):
+    """Steady-state wall-clock: dispatch `pipeline` calls back-to-back and
+    sync once (training-loop conditions; hides per-call host dispatch
+    latency, which on a tunnelled chip is ~10 ms)."""
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
     for _ in range(n_warmup):
         jax.block_until_ready(fn(*args))
     times = []
-    for _ in range(n_runs):
+    for _ in range(n_runs // pipeline):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append((time.perf_counter() - t0) * 1e3)
+        outs = [fn(*args) for _ in range(pipeline)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) * 1e3 / pipeline)
     return trimmed_mean(times)
 
 

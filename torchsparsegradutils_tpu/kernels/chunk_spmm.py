@@ -1,0 +1,331 @@
+"""Pallas TPU chunk kernels for SpMM / SDDMM (the hot path).
+
+Design (validated on a v5e chip; see git history for the measurement
+trail):  random per-nonzero scalar relayouts cost ~25-50 ms at cfd2 scale,
+so the kernel consumes the nonzero stream **in its natural (row-sorted)
+order** in fixed chunks of C entries — no per-call value relayout at all:
+
+  * the data values arrive as contiguous ``(SB, C)`` blocks;
+  * the dense operand rows are pre-gathered by XLA (``take``) into a
+    ``(nnz_pad, p)`` stream consumed linearly by the kernel (XLA's gather
+    pipelines far better feeding a linear consumer than standalone);
+  * each chunk touches a small contiguous set of ≤W distinct rows, so the
+    row reduction becomes a one-hot (W, C) matrix built on the VPU and a
+    single MXU contraction ``M @ Pg → (W, p)`` per chunk;
+  * per-chunk partials are combined by one cheap segment-sum over
+    ``nchunks·W`` rows (vs nnz rows for the naive scatter-add).
+
+Measured at cfd2 scale (N=123k, nnz=3.1M, p=128, f32 HIGHEST):
+forward 18 ms and fused backward (gradA values + gradB) 59 ms, vs 60/98 ms
+for gather+segment-sum XLA — and the backward shares one kernel pass that
+emits both the SDDMM values and the ``V = val·G[row]`` rows that turn
+``AᵀG`` into a second row-sum chunk pass (avoiding the transpose-value
+permutation entirely).
+
+The kernels run under ``interpret=True`` off-TPU so the unit-test suite
+covers them on CPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import StaticArray
+
+HI = jax.lax.Precision.HIGHEST
+LANE = 128
+VMEM_BUDGET = 6 * 1024 * 1024   # per-buffer-set bytes (double buffering x2)
+MIN_NNZ_FOR_PALLAS = 1          # kernels are correct at any size; dispatch
+#                                 policy lives in ops/spmm.py
+
+
+def interpret_mode() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@dataclass(frozen=True)
+class ChunkPlan:
+    """Row-oriented chunk plan for entries sorted by row."""
+    n: int                 # output rows
+    m: int                 # gather-source rows (columns of A)
+    nnz: int
+    C: int                 # entries per chunk
+    SB: int                # chunks per grid step
+    nchunks: int           # padded to a multiple of SB
+    W: int                 # max distinct rows per chunk (multiple of 8)
+    lr: np.ndarray         # (nchunks, C) int32: rank of entry's row in chunk
+    seg_rows: np.ndarray   # (nchunks, W) int32: global row per rank (pad: n)
+    gather_idx: np.ndarray  # (nnz_pad,) int32: source row in B per entry
+    perm: Optional[np.ndarray]  # (nnz,) entry order used (None = natural)
+
+    @property
+    def nnz_pad(self) -> int:
+        return self.nchunks * self.C
+
+
+def _build(rows: np.ndarray, cols: np.ndarray, n: int, m: int,
+           perm: Optional[np.ndarray]) -> Optional[ChunkPlan]:
+    nnz = len(rows)
+    if nnz == 0:
+        return None
+    SB = 8
+    for C in (512, 256, 128):
+        nchunks_raw = -(-nnz // C)
+        nchunks = -(-nchunks_raw // SB) * SB
+        nnz_pad = nchunks * C
+        rows_p = np.concatenate([rows, np.full(nnz_pad - nnz, rows[-1],
+                                               rows.dtype)])
+        rch = rows_p.reshape(nchunks, C)
+        # per-chunk distinct-row ranks (rows sorted -> rank by first index)
+        first = rch[:, :1]
+        new_row = np.concatenate([np.ones((nchunks, 1), bool),
+                                  rch[:, 1:] != rch[:, :-1]], axis=1)
+        lr = (np.cumsum(new_row, axis=1) - 1).astype(np.int32)
+        W = -(-int(lr.max() + 1) // 8) * 8
+        # VMEM estimate: pg + gw/V + out per grid step
+        step_bytes = SB * C * LANE * 4 * 2 + SB * W * LANE * 4
+        if step_bytes <= VMEM_BUDGET:
+            seg_rows = np.full((nchunks, W), n, np.int32)
+            np.put_along_axis(seg_rows, lr, rch.astype(np.int32), axis=1)
+            cols_p = np.concatenate([cols, np.zeros(nnz_pad - nnz,
+                                                    cols.dtype)])
+            return ChunkPlan(n=n, m=m, nnz=nnz, C=C, SB=SB,
+                             nchunks=nchunks, W=W, lr=lr,
+                             seg_rows=seg_rows,
+                             gather_idx=cols_p.astype(np.int32), perm=perm)
+    return None
+
+
+@lru_cache(maxsize=256)
+def build_chunk_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
+                     m: int) -> Optional[ChunkPlan]:
+    """Plan over entries in natural order (requires row-sorted rows)."""
+    rows = rows_sa.arr.astype(np.int64)
+    cols = cols_sa.arr.astype(np.int64)
+    if rows.ndim != 1 or len(rows) == 0:
+        return None
+    if not (np.diff(rows) >= 0).all():
+        return None  # unsorted entry order: XLA fallback
+    return _build(rows, cols, n, m, None)
+
+
+@lru_cache(maxsize=256)
+def build_chunk_plan_transpose(rows_sa: StaticArray, cols_sa: StaticArray,
+                               n: int, m: int) -> Optional[ChunkPlan]:
+    """Plan for Aᵀ: entries re-sorted by column; ``perm`` records the
+    entry order so per-entry streams (e.g. the V matrix) can be gathered."""
+    rows = rows_sa.arr.astype(np.int64)
+    cols = cols_sa.arr.astype(np.int64)
+    if rows.ndim != 1 or len(rows) == 0:
+        return None
+    perm = np.lexsort((rows, cols)).astype(np.int64)
+    return _build(cols[perm], rows[perm], m, n, perm.astype(np.int32))
+
+
+# --------------------------------------------------------------------------
+# kernels
+# --------------------------------------------------------------------------
+
+def _pad_entries(x, plan: ChunkPlan):
+    pad = plan.nnz_pad - plan.nnz
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    return x
+
+
+def _pad_cols(X):
+    p = X.shape[1]
+    p_pad = -(-p // LANE) * LANE
+    if p_pad != p:
+        X = jnp.pad(X, ((0, 0), (0, p_pad - p)))
+    return X, p
+
+
+def _grid_specs(plan: ChunkPlan, p_pad: int):
+    SB, C, W = plan.SB, plan.C, plan.W
+    grid = (plan.nchunks // SB, p_pad // LANE)
+    lr_spec = pl.BlockSpec((SB, C), lambda s, j: (s, 0),
+                           memory_space=pltpu.VMEM)
+    vals_spec = pl.BlockSpec((SB, C), lambda s, j: (s, 0),
+                             memory_space=pltpu.VMEM)
+    pg_spec = pl.BlockSpec((SB * C, LANE), lambda s, j: (s, j),
+                           memory_space=pltpu.VMEM)
+    gw_spec = pl.BlockSpec((SB, W, LANE), lambda s, j: (s, 0, j),
+                           memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((SB, W, LANE), lambda s, j: (s, 0, j),
+                             memory_space=pltpu.VMEM)
+    return grid, lr_spec, vals_spec, pg_spec, gw_spec, part_spec
+
+
+def _combine(plan: ChunkPlan, partial_out, p: int):
+    seg = jnp.asarray(plan.seg_rows.reshape(-1))
+    out = jax.ops.segment_sum(
+        partial_out.reshape(-1, partial_out.shape[-1]), seg,
+        num_segments=plan.n + 1)
+    return out[:plan.n, :p]
+
+
+def chunk_spmm(plan: ChunkPlan, data, B):
+    """A @ B where A's entries follow the plan's order; B is (m, p)."""
+    SB, C, W = plan.SB, plan.C, plan.W
+    if plan.perm is not None:
+        data = jnp.take(data, jnp.asarray(plan.perm))
+    vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
+    Bp, p = _pad_cols(B)
+    Pg = jnp.take(Bp, jnp.asarray(plan.gather_idx), axis=0)
+    p_pad = Bp.shape[1]
+    grid, lr_s, v_s, pg_s, _, part_s = _grid_specs(plan, p_pad)
+
+    def kernel(lr_ref, vals_ref, pg_ref, out_ref):
+        for i in range(SB):
+            l = lr_ref[i]
+            v = vals_ref[i]
+            M = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (W, C), 0) == l[None, :],
+                v[None, :], 0.0)
+            out_ref[i] = jnp.dot(M, pg_ref[i * C:(i + 1) * C, :],
+                                 preferred_element_type=jnp.float32,
+                                 precision=HI).astype(out_ref.dtype)
+
+    partial_out = pl.pallas_call(
+        kernel, grid=grid, in_specs=[lr_s, v_s, pg_s], out_specs=part_s,
+        out_shape=jax.ShapeDtypeStruct((plan.nchunks, W, p_pad), B.dtype),
+        interpret=interpret_mode(),
+    )(jnp.asarray(plan.lr), vals, Pg)
+    return _combine(plan, partial_out, p)
+
+
+def chunk_sddmm(plan: ChunkPlan, X, Y):
+    """Values (nnz,) of (X @ Yᵀ) at the pattern, natural entry order.
+
+    X rows arrive as per-chunk windows (one small contiguous gather), Y
+    rows via the main entry gather."""
+    SB, C, W = plan.SB, plan.C, plan.W
+    Yp, p = _pad_cols(Y)
+    Xp, _ = _pad_cols(X)
+    p_pad = Yp.shape[1]
+    Pg = jnp.take(Yp, jnp.asarray(plan.gather_idx), axis=0)
+    Xw = jnp.take(Xp, jnp.asarray(
+        np.minimum(plan.seg_rows, plan.n - 1).reshape(-1)), axis=0
+    ).reshape(plan.nchunks, W, p_pad)
+    grid, lr_s, _, pg_s, gw_s, _ = _grid_specs(plan, p_pad)
+    dd_spec = pl.BlockSpec((SB, C), lambda s, j: (s, 0),
+                           memory_space=pltpu.VMEM)
+
+    def kernel(lr_ref, pg_ref, xw_ref, dd_ref):
+        j = pl.program_id(1)
+        for i in range(SB):
+            l = lr_ref[i]
+            Mt = (l[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (C, W), 1)).astype(pg_ref.dtype)
+            Xe = jnp.dot(Mt, xw_ref[i], preferred_element_type=jnp.float32,
+                         precision=HI)
+            contrib = (Xe * pg_ref[i * C:(i + 1) * C, :]).sum(-1)
+
+            @pl.when(j == 0)
+            def _():
+                dd_ref[i] = contrib.astype(dd_ref.dtype)
+
+            @pl.when(j != 0)
+            def _():
+                dd_ref[i] = dd_ref[i] + contrib.astype(dd_ref.dtype)
+
+    dd = pl.pallas_call(
+        kernel, grid=grid, in_specs=[lr_s, pg_s, gw_s], out_specs=dd_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.nchunks, C), X.dtype),
+        interpret=interpret_mode(),
+    )(jnp.asarray(plan.lr), Pg, Xw)
+    dd = dd.reshape(-1)[:plan.nnz]
+    return dd
+
+
+def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G):
+    """Fused backward of A @ B: returns (d_data (nnz,), d_B (m, p)).
+
+    One kernel pass over the row-sorted entries emits both the SDDMM
+    values and V[e] = data_e · G[row_e]; a second row-sum pass over the
+    column-sorted order of V yields AᵀG without any per-entry value
+    permutation (V rows are gathered, which is fast; scalars are not)."""
+    SB, C, W = plan.SB, plan.C, plan.W
+    Bp, p = _pad_cols(B)
+    Gp, _ = _pad_cols(G)
+    p_pad = Bp.shape[1]
+    vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
+    Pg = jnp.take(Bp, jnp.asarray(plan.gather_idx), axis=0)
+    Gw = jnp.take(Gp, jnp.asarray(
+        np.minimum(plan.seg_rows, plan.n - 1).reshape(-1)), axis=0
+    ).reshape(plan.nchunks, W, p_pad)
+    grid, lr_s, v_s, pg_s, gw_s, _ = _grid_specs(plan, p_pad)
+    dd_spec = pl.BlockSpec((SB, C), lambda s, j: (s, 0),
+                           memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((SB * C, LANE), lambda s, j: (s, j),
+                          memory_space=pltpu.VMEM)
+
+    def kernel(lr_ref, vals_ref, pg_ref, gw_ref, dd_ref, v_ref):
+        j = pl.program_id(1)
+        for i in range(SB):
+            l = lr_ref[i]
+            v = vals_ref[i]
+            Mt = (l[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (C, W), 1)).astype(pg_ref.dtype)
+            Ge = jnp.dot(Mt, gw_ref[i], preferred_element_type=jnp.float32,
+                         precision=HI)
+            contrib = (Ge * pg_ref[i * C:(i + 1) * C, :]).sum(-1)
+
+            @pl.when(j == 0)
+            def _():
+                dd_ref[i] = contrib.astype(dd_ref.dtype)
+
+            @pl.when(j != 0)
+            def _():
+                dd_ref[i] = dd_ref[i] + contrib.astype(dd_ref.dtype)
+
+            v_ref[i * C:(i + 1) * C, :] = (Ge * v[:, None]).astype(
+                v_ref.dtype)
+
+    dd, V = pl.pallas_call(
+        kernel, grid=grid, in_specs=[lr_s, v_s, pg_s, gw_s],
+        out_specs=(dd_spec, v_spec),
+        out_shape=(jax.ShapeDtypeStruct((plan.nchunks, C), data.dtype),
+                   jax.ShapeDtypeStruct((plan.nnz_pad, p_pad), B.dtype)),
+        interpret=interpret_mode(),
+    )(jnp.asarray(plan.lr), vals, Pg, Gw)
+    d_data = dd.reshape(-1)[:plan.nnz]
+
+    # second pass: d_B[c] = Σ_{e in col c} V[e]  — row-sum of V in the
+    # column-sorted order (plan_t), with unit weights.
+    perm_pad = np.concatenate([
+        plan_t.perm.astype(np.int64),
+        np.zeros(plan_t.nnz_pad - plan_t.nnz, np.int64)])
+    Vg = jnp.take(V, jnp.asarray(perm_pad), axis=0)
+    ones = jnp.zeros((plan_t.nnz_pad,), B.dtype).at[:plan_t.nnz].set(1.0)
+    SBt, Ct, Wt = plan_t.SB, plan_t.C, plan_t.W
+    grid_t, lr_t, v_t, pg_t, _, part_t = _grid_specs(plan_t, p_pad)
+
+    def kernel2(lr_ref, ones_ref, vg_ref, out_ref):
+        for i in range(SBt):
+            l = lr_ref[i]
+            o = ones_ref[i]
+            M = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (Wt, Ct), 0)
+                == l[None, :], o[None, :], 0.0)
+            out_ref[i] = jnp.dot(M, vg_ref[i * Ct:(i + 1) * Ct, :],
+                                 preferred_element_type=jnp.float32,
+                                 precision=HI).astype(out_ref.dtype)
+
+    partial_t = pl.pallas_call(
+        kernel2, grid=grid_t, in_specs=[lr_t, v_t, pg_t], out_specs=part_t,
+        out_shape=jax.ShapeDtypeStruct((plan_t.nchunks, Wt, p_pad),
+                                       B.dtype),
+        interpret=interpret_mode(),
+    )(jnp.asarray(plan_t.lr), ones.reshape(plan_t.nchunks, Ct), Vg)
+    d_B = _combine(plan_t, partial_t, p)
+    return d_data, d_B

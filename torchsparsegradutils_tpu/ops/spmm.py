@@ -37,6 +37,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels import dispatch
+from ..kernels.chunk_spmm import (
+    build_chunk_plan,
+    build_chunk_plan_transpose,
+    chunk_sddmm,
+    chunk_spmm,
+    chunk_spmm_bwd_fused,
+)
 from ..kernels.ell import build_ell_plan, ell_sddmm, ell_spmm
 from ..types import SparseCOO, SparseCSR, is_sparse
 from .common import sparse_cotangent
@@ -66,6 +74,27 @@ def _plans(A, backend: str):
     return (build_ell_plan(rs, cs, n, m), build_ell_plan(cs, rs, m, n))
 
 
+def _pallas_ok(A, p: int, backend: str) -> bool:
+    """Whether the Pallas chunk kernels should handle this op."""
+    if backend == "pallas":
+        return True
+    if backend != "auto":
+        return False
+    # auto: real TPU only, reasonably wide RHS (p=1 matvecs pad 128x)
+    return dispatch.on_tpu() and p >= 32 and A.dtype in (
+        jnp.float32, jnp.bfloat16)
+
+
+def _chunk_plan(A, backend: str, transpose: bool = False):
+    rs, cs = A.row_sa(), A.col_sa()
+    if rs is None or cs is None or rs.arr.ndim != 1:
+        return None
+    n, m = A.mat_shape
+    if transpose:
+        return build_chunk_plan_transpose(rs, cs, n, m)
+    return build_chunk_plan(rs, cs, n, m)
+
+
 def _fallback_spmm(n, sorted_rows, row, col, data, B):
     prod = data[:, None] * jnp.take(B, jnp.asarray(col), axis=0)
     return jax.ops.segment_sum(prod, jnp.asarray(row), num_segments=n,
@@ -78,12 +107,11 @@ def _fallback_sddmm(row, col, X, Y):
 
 
 def _spmm_forward(backend, A, B):
+    if _pallas_ok(A, B.shape[-1], backend):
+        plan = _chunk_plan(A, backend)
+        if plan is not None:
+            return chunk_spmm(plan, A.data, B)
     rp, _ = _plans(A, backend)
-    if backend == "pallas":
-        from ..kernels import dispatch
-        out = dispatch.spmm_pallas(A, B)
-        if out is not None:
-            return out
     if rp is not None:
         return ell_spmm(rp, A.data, B)
     return _fallback_spmm(A.shape[-2], A.layout == "csr", A.rows(),
@@ -91,6 +119,10 @@ def _spmm_forward(backend, A, B):
 
 
 def _sddmm_values(backend, A, X, Y):
+    if _pallas_ok(A, Y.shape[-1], backend):
+        plan = _chunk_plan(A, backend)
+        if plan is not None:
+            return chunk_sddmm(plan, X, Y)
     rp, _ = _plans(A, backend)
     if rp is not None:
         return ell_sddmm(rp, X, Y)
@@ -129,12 +161,47 @@ def _spmm_cv_fwd(backend, A, B):
 
 def _spmm_cv_bwd(backend, res, g):
     A, B = res
-    d_data = _sddmm_cv(backend, A, g, B).data
-    d_B = _spmm_transpose(backend, A, g)
+    d_data, d_B = _spmm_bwd_pair(backend, A, B, g)
     return sparse_cotangent(A, d_data), d_B
 
 
 _spmm_cv.defvjp(_spmm_cv_fwd, _spmm_cv_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_bwd_pair(backend, A, B, g):
+    """(d_data, d_B) of ``A @ B`` given output cotangent g.
+
+    First-order: one fused Pallas pass (SDDMM values + V rows) plus a
+    column-order row-sum — no per-entry value permutation.  Its own VJP
+    (for higher-order grads) is expressed in plain differentiable ops.
+    """
+    if _pallas_ok(A, B.shape[-1], backend):
+        plan = _chunk_plan(A, backend)
+        plan_t = _chunk_plan(A, backend, transpose=True)
+        if plan is not None and plan_t is not None:
+            return chunk_spmm_bwd_fused(plan, plan_t, A.data, B, g)
+    d_data = _sddmm_values(backend, A, g, B)
+    d_B = _spmm_transpose(backend, A, g)
+    return d_data, d_B
+
+
+def _spmm_bwd_pair_fwd(backend, A, B, g):
+    return _spmm_bwd_pair(backend, A, B, g), (A, B, g)
+
+
+def _spmm_bwd_pair_bwd(backend, res, cts):
+    A, B, g = res
+    ct_dd, ct_dB = cts
+    ct_sp = A.with_data(ct_dd)
+    # d_data = sddmm(g, B) at pattern; d_B = Aᵀ g
+    d_Adata = _fallback_sddmm(A.rows(), A.cols(), g, ct_dB)
+    d_B = _spmm_transpose("xla", ct_sp, g)
+    d_g = _spmm_forward("xla", ct_sp, B) + _spmm_forward("xla", A, ct_dB)
+    return sparse_cotangent(A, d_Adata), d_B, d_g
+
+
+_spmm_bwd_pair.defvjp(_spmm_bwd_pair_fwd, _spmm_bwd_pair_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
