@@ -1,0 +1,148 @@
+"""Interop tests: torch<->jax round-trips, torch-frontend sparse_mm/solve
+with torch autograd, scipy host-callback solve with IFT grads (mirrors
+reference tests/test_jax_bindings.py, test_jax_sparse_solve.py,
+test_cupy_sparse_solve.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchsparsegradutils_tpu import SparseCOO
+from torchsparsegradutils_tpu.solvers import LinearCGSettings, linear_cg
+from torchsparsegradutils_tpu.utils import make_spd_sparse, rand_sparse
+
+torch = pytest.importorskip("torch")
+
+from torchsparsegradutils_tpu.interop import (  # noqa: E402
+    scipy_solver,
+    sparse_solve_scipy,
+)
+from torchsparsegradutils_tpu.interop.torch_bridge import (  # noqa: E402
+    j2t,
+    j2t_coo,
+    j2t_csr,
+    sparse_mm_j4t,
+    sparse_solve_j4t,
+    t2j,
+    t2j_coo,
+    t2j_csr,
+)
+
+N = 16
+
+
+def _torch_coo(key, n=N, nnz=40):
+    sp = rand_sparse(key, (n, n), nnz)
+    idx = torch.tensor(np.stack([sp.rows_np(), sp.cols_np()]),
+                       dtype=torch.int64)
+    return torch.sparse_coo_tensor(idx, torch.tensor(np.asarray(sp.data)),
+                                   (n, n)).coalesce()
+
+
+def test_dense_roundtrip(key):
+    t = torch.randn(5, 7)
+    j = t2j(t)
+    np.testing.assert_allclose(np.asarray(j), t.numpy(), rtol=1e-6)
+    back = j2t(j)
+    np.testing.assert_allclose(back.numpy(), t.numpy(), rtol=1e-6)
+
+
+def test_sparse_roundtrips(key):
+    t = _torch_coo(key)
+    sp = t2j_coo(t)
+    np.testing.assert_allclose(np.asarray(sp.todense()),
+                               t.to_dense().numpy(), atol=1e-6)
+    back = j2t_coo(sp)
+    np.testing.assert_allclose(back.to_dense().numpy(),
+                               t.to_dense().numpy(), atol=1e-6)
+    t_csr = t.to_sparse_csr()
+    sp_csr = t2j_csr(t_csr)
+    np.testing.assert_allclose(np.asarray(sp_csr.todense()),
+                               t.to_dense().numpy(), atol=1e-6)
+    back_csr = j2t_csr(sp_csr)
+    np.testing.assert_allclose(back_csr.to_dense().numpy(),
+                               t.to_dense().numpy(), atol=1e-6)
+
+
+def test_sparse_mm_j4t_forward_and_grad(key):
+    A = _torch_coo(key)
+    values = A.coalesce().values().clone().requires_grad_(True)
+    A = torch.sparse_coo_tensor(A.indices(), values, A.shape)
+    B = torch.randn(N, 3, requires_grad=True)
+    y = sparse_mm_j4t(A, B)
+    ref = A.detach().to_dense() @ B.detach()
+    np.testing.assert_allclose(y.detach().numpy(), ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    y.sum().backward()
+    # dense reference grads
+    Ad = A.detach().to_dense().clone().requires_grad_(True)
+    Bd = B.detach().clone().requires_grad_(True)
+    (Ad @ Bd).sum().backward()
+    idx = A.coalesce().indices().numpy()
+    np.testing.assert_allclose(values.grad.numpy(),
+                               Ad.grad.numpy()[idx[0], idx[1]], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(B.grad.numpy(), Bd.grad.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sparse_solve_j4t(key):
+    spd = make_spd_sparse(key, N, N + 2 * N)
+    idx = torch.tensor(np.stack([spd.rows_np(), spd.cols_np()]),
+                       dtype=torch.int64)
+    values = torch.tensor(np.asarray(spd.data)).requires_grad_(True)
+    A = torch.sparse_coo_tensor(idx, values, (N, N))
+    b = torch.randn(N, requires_grad=True)
+    x = sparse_solve_j4t(A, b, solve=linear_cg,
+                         settings=LinearCGSettings(max_iter=400, rtol=1e-7))
+    ref = torch.linalg.solve(A.detach().to_dense().double(),
+                             b.detach().double())
+    np.testing.assert_allclose(x.detach().numpy(), ref.numpy(), rtol=1e-2,
+                               atol=1e-3)
+    x.sum().backward()
+    assert values.grad is not None and b.grad is not None
+    assert np.isfinite(values.grad.numpy()).all()
+
+
+@pytest.mark.parametrize("method", ["spsolve", "cg"])
+def test_sparse_solve_scipy(key, method):
+    spd = make_spd_sparse(key, N, N + 2 * N)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (N,))
+    x = sparse_solve_scipy(spd, b, method=method)
+    ref = jnp.linalg.solve(spd.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-3)
+    # IFT gradient parity vs dense
+    rows, cols = spd.rows_np(), spd.cols_np()
+
+    def loss(d):
+        return (sparse_solve_scipy(spd.with_data(d), b,
+                                   method=method) ** 2).sum()
+
+    def loss_dense(d):
+        Ad = jnp.zeros((N, N)).at[rows, cols].add(d)
+        return (jnp.linalg.solve(Ad, b) ** 2).sum()
+
+    g = jax.grad(loss)(spd.data)
+    gd = jax.grad(loss_dense)(spd.data)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd), rtol=5e-2,
+                               atol=5e-3)
+
+
+def test_scipy_solver_guards(key):
+    spd = make_spd_sparse(key, N, N + 2 * N)
+    with pytest.raises(ValueError, match="unknown scipy solver"):
+        scipy_solver("qmr_bogus")
+    B = jnp.ones((N, 2))
+    with pytest.raises(ValueError, match="single RHS"):
+        scipy_solver("cg")(spd, B)
+
+
+def test_scipy_multirhs_direct(key):
+    spd = make_spd_sparse(key, N, N + 2 * N)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (N, 3))
+    x = sparse_solve_scipy(spd, B, method="spsolve")
+    ref = jnp.linalg.solve(spd.todense(), B)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)

@@ -1,0 +1,15 @@
+from .scipy_solve import have_scipy, scipy_solver, sparse_solve_scipy
+
+__all__ = ["have_scipy", "scipy_solver", "sparse_solve_scipy"]
+
+
+def __getattr__(name):
+    # torch bridge imported lazily (torch is an optional dependency)
+    _torch_names = {
+        "have_torch", "t2j", "j2t", "t2j_coo", "t2j_csr", "j2t_coo",
+        "j2t_csr", "sparse_mm_j4t", "sparse_solve_j4t",
+    }
+    if name in _torch_names:
+        from . import torch_bridge
+        return getattr(torch_bridge, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
