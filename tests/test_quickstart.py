@@ -1,0 +1,76 @@
+"""README quickstart equivalence tests (reference archetype:
+tests/test_quickstart_guide.py re-runs the documented snippets)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_quickstart_spmm():
+    from torchsparsegradutils_tpu import SparseCSR, sparse_mm
+
+    key = jax.random.PRNGKey(0)
+    A = SparseCSR.fromdense(jnp.eye(4).at[2, 0].set(3.0))
+    B = jax.random.normal(key, (4, 2))
+    out = sparse_mm(A, B)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(A.todense() @ B), rtol=1e-6)
+    gA = jax.grad(lambda sp: sparse_mm(sp, B).sum())(A)
+    assert gA.data.shape == (A.nnz,)
+
+
+def test_quickstart_solve():
+    from torchsparsegradutils_tpu import sparse_generic_solve
+    from torchsparsegradutils_tpu.solvers import (LinearCGSettings,
+                                                  linear_cg)
+    from torchsparsegradutils_tpu.utils import make_spd_sparse
+
+    key = jax.random.PRNGKey(0)
+    A = make_spd_sparse(key, 64, 64 + 2 * 128)
+    b = jax.random.normal(key, (64,))
+    x = sparse_generic_solve(A, b, solve=linear_cg,
+                             settings=LinearCGSettings(rtol=1e-7))
+    np.testing.assert_allclose(np.asarray(x),
+                               np.asarray(jnp.linalg.solve(A.todense(), b)),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_quickstart_distribution():
+    from torchsparsegradutils_tpu.models import (PairwiseEncoder,
+                                                 SparseMultivariateNormal)
+
+    key = jax.random.PRNGKey(0)
+    enc = PairwiseEncoder(radius=1.5, volume_shape=(1, 8, 8), upper=False)
+    values = 0.1 * jax.random.normal(key, (len(enc.offsets), 1, 8, 8))
+    L = enc(values)
+    dist = SparseMultivariateNormal(jnp.zeros(64), jnp.ones(64),
+                                    scale_tril=L)
+    samples = dist.rsample(key, (1000,))
+    assert samples.shape == (1000, 64)
+    logp = dist.log_prob(samples)
+    assert logp.shape == (1000,)
+    assert np.isfinite(np.asarray(logp)).all()
+
+    g = jax.grad(lambda v: SparseMultivariateNormal(
+        jnp.zeros(64), jnp.ones(64), scale_tril=enc(v)
+    ).rsample(key, (16,)).var())(values)
+    assert g.shape == values.shape
+
+
+def test_quickstart_batched_and_layouts():
+    """Mirror of the reference quickstart's batched + layout examples."""
+    from torchsparsegradutils_tpu import sparse_mm, sparse_triangular_solve
+    from torchsparsegradutils_tpu.utils import rand_sparse, rand_sparse_tri
+
+    key = jax.random.PRNGKey(1)
+    A = rand_sparse(key, (3, 8, 8), 12, layout="coo")
+    B = jax.random.normal(jax.random.fold_in(key, 1), (3, 8, 4))
+    out = sparse_mm(A, B)
+    assert out.shape == (3, 8, 4)
+
+    T = rand_sparse_tri(key, (8, 8), 8 + 6, upper=True, layout="csr")
+    b = jax.random.normal(jax.random.fold_in(key, 2), (8, 2))
+    x = sparse_triangular_solve(T, b, upper=True)
+    ref = jnp.linalg.solve(jnp.triu(T.todense()), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
