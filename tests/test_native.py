@@ -1,0 +1,72 @@
+"""Native (C++) pattern-op tests: equality with the numpy fallbacks and a
+speed sanity check on the radix lexsort."""
+
+import time
+
+import numpy as np
+import pytest
+
+from torchsparsegradutils_tpu import native
+
+
+def test_native_available():
+    # the environment ships g++; the extension should build
+    assert native.available()
+
+
+def test_lexsort_matches_numpy():
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 1000, 20000)
+    cols = rng.integers(0, 800, 20000)
+    p_nat = native.lexsort_rowcol(rows, cols, 800)
+    p_np = np.lexsort((cols, rows))
+    # permutations may differ on ties only if sort is unstable; keys equal
+    k_nat = rows[p_nat] * 800 + cols[p_nat]
+    k_np = rows[p_np] * 800 + cols[p_np]
+    np.testing.assert_array_equal(k_nat, k_np)
+
+
+def test_compress_rows_matches_numpy():
+    rng = np.random.default_rng(1)
+    rows = np.sort(rng.integers(0, 100, 5000))
+    got = native.compress_rows(rows, 100)
+    counts = np.bincount(rows, minlength=100)
+    want = np.zeros(101, np.int64)
+    np.cumsum(counts, out=want[1:])
+    np.testing.assert_array_equal(got, want)
+    assert got[-1] == 5000
+
+
+def test_chunk_ranks_matches_numpy():
+    rng = np.random.default_rng(2)
+    rows = np.sort(rng.integers(0, 200, 4096))
+    lr_n, seg_n, W_n = native.chunk_ranks(rows, 512, 200, W_cap=512)
+    # numpy fallback path
+    import os
+    nchunks = len(rows) // 512
+    rch = rows.reshape(nchunks, 512)
+    new_row = np.concatenate([np.ones((nchunks, 1), bool),
+                              rch[:, 1:] != rch[:, :-1]], axis=1)
+    lr_ref = (np.cumsum(new_row, axis=1) - 1).astype(np.int32)
+    np.testing.assert_array_equal(lr_n, lr_ref)
+    W_ref = int(lr_ref.max() + 1)
+    assert W_n == W_ref
+    seg_ref = np.full((nchunks, 512), 200, np.int32)
+    np.put_along_axis(seg_ref, lr_ref, rch.astype(np.int32), axis=1)
+    np.testing.assert_array_equal(seg_n, seg_ref)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native lib")
+def test_lexsort_speed():
+    rng = np.random.default_rng(3)
+    nnz = 2_000_000
+    rows = rng.integers(0, 100_000, nnz)
+    cols = rng.integers(0, 100_000, nnz)
+    t0 = time.perf_counter()
+    native.lexsort_rowcol(rows, cols, 100_000)
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.lexsort((cols, rows))
+    t_np = time.perf_counter() - t0
+    print(f"native {t_nat*1e3:.0f} ms vs numpy {t_np*1e3:.0f} ms")
+    assert t_nat < t_np  # radix should beat comparison sort at this size

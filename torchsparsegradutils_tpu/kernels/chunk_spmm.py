@@ -76,6 +76,7 @@ def _build(rows: np.ndarray, cols: np.ndarray, n: int, m: int,
     nnz = len(rows)
     if nnz == 0:
         return None
+    from .. import native
     SB = 8
     for C in (512, 256, 128):
         nchunks_raw = -(-nnz // C)
@@ -83,18 +84,17 @@ def _build(rows: np.ndarray, cols: np.ndarray, n: int, m: int,
         nnz_pad = nchunks * C
         rows_p = np.concatenate([rows, np.full(nnz_pad - nnz, rows[-1],
                                                rows.dtype)])
-        rch = rows_p.reshape(nchunks, C)
-        # per-chunk distinct-row ranks (rows sorted -> rank by first index)
-        first = rch[:, :1]
-        new_row = np.concatenate([np.ones((nchunks, 1), bool),
-                                  rch[:, 1:] != rch[:, :-1]], axis=1)
-        lr = (np.cumsum(new_row, axis=1) - 1).astype(np.int32)
-        W = -(-int(lr.max() + 1) // 8) * 8
+        # per-chunk distinct-row ranks (rows sorted -> rank by first index);
+        # native C++ path with numpy fallback
+        ranked = native.chunk_ranks(rows_p, C, n, W_cap=C)
+        if ranked is None:
+            continue
+        lr, seg_full, W_true = ranked
+        W = -(-W_true // 8) * 8
         # VMEM estimate: pg + gw/V + out per grid step
         step_bytes = SB * C * LANE * 4 * 2 + SB * W * LANE * 4
         if step_bytes <= VMEM_BUDGET:
-            seg_rows = np.full((nchunks, W), n, np.int32)
-            np.put_along_axis(seg_rows, lr, rch.astype(np.int32), axis=1)
+            seg_rows = np.ascontiguousarray(seg_full[:, :W])
             cols_p = np.concatenate([cols, np.zeros(nnz_pad - nnz,
                                                     cols.dtype)])
             return ChunkPlan(n=n, m=m, nnz=nnz, C=C, SB=SB,
@@ -126,7 +126,8 @@ def build_chunk_plan_transpose(rows_sa: StaticArray, cols_sa: StaticArray,
     cols = cols_sa.arr.astype(np.int64)
     if rows.ndim != 1 or len(rows) == 0:
         return None
-    perm = np.lexsort((rows, cols)).astype(np.int64)
+    from .. import native
+    perm = native.lexsort_rowcol(cols, rows, n).astype(np.int64)
     return _build(cols[perm], rows[perm], m, n, perm.astype(np.int32))
 
 

@@ -1,0 +1,138 @@
+"""Native (C++) host-side pattern-preprocessing kernels.
+
+Compiled on demand with the system toolchain into a per-user cache and
+loaded via ctypes (plain C ABI; no binding-library dependency).  Every
+entry point has a numpy fallback, so the library works without a
+compiler — the native path just makes plan building (lexsort, CSR
+compression, chunk ranking) several times faster at nnz ≥ 1e6.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+_SRC = os.path.join(os.path.dirname(__file__), "pattern_ops.cpp")
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha1(f.read()).hexdigest()[:16]
+        cache = os.path.join(tempfile.gettempdir(),
+                             f"tsgu_tpu_native_{digest}")
+        so_path = os.path.join(cache, "pattern_ops.so")
+        if not os.path.exists(so_path):
+            os.makedirs(cache, exist_ok=True)
+            tmp = so_path + ".tmp"
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", _SRC, "-o", tmp],
+                check=True, capture_output=True)
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+        lib.lexsort_rowcol.restype = ctypes.c_int
+        lib.lexsort_rowcol.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.compress_rows.restype = ctypes.c_int
+        lib.compress_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.chunk_ranks.restype = ctypes.c_int64
+        lib.chunk_ranks.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        return lib
+    except Exception:  # pragma: no cover - toolchain missing
+        return None
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        if os.environ.get("TSGU_DISABLE_NATIVE") != "1":
+            _LIB = _build_and_load()
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _ptr64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _ptr32(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def lexsort_rowcol(rows: np.ndarray, cols: np.ndarray,
+                   m: int) -> np.ndarray:
+    """Permutation sorting entries by (row, col); radix-native or numpy."""
+    lib = _lib()
+    rows64 = np.ascontiguousarray(rows, np.int64)
+    cols64 = np.ascontiguousarray(cols, np.int64)
+    if lib is not None and len(rows64):
+        perm = np.empty(len(rows64), np.int64)
+        rc = lib.lexsort_rowcol(_ptr64(rows64), _ptr64(cols64),
+                                len(rows64), int(m), _ptr64(perm))
+        if rc == 0:
+            return perm
+    return np.lexsort((cols64, rows64))
+
+
+def compress_rows(sorted_rows: np.ndarray, n: int,
+                  dtype=np.int64) -> np.ndarray:
+    """Sorted rows -> CSR indptr; native or numpy bincount+cumsum."""
+    lib = _lib()
+    rows64 = np.ascontiguousarray(sorted_rows, np.int64)
+    if lib is not None:
+        indptr = np.empty(n + 1, np.int64)
+        if lib.compress_rows(_ptr64(rows64), len(rows64), int(n),
+                             _ptr64(indptr)) == 0:
+            return indptr.astype(dtype, copy=False)
+    counts = np.bincount(rows64, minlength=n)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr.astype(dtype, copy=False)
+
+
+def chunk_ranks(rows_padded: np.ndarray, C: int, n: int,
+                W_cap: int) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """(lr, seg_rows, W) per-chunk local row ranks; native or numpy."""
+    nnz_pad = len(rows_padded)
+    nchunks = nnz_pad // C
+    lib = _lib()
+    rows64 = np.ascontiguousarray(rows_padded, np.int64)
+    if lib is not None:
+        lr = np.empty(nnz_pad, np.int32)
+        seg = np.empty(nchunks * W_cap, np.int32)
+        w = lib.chunk_ranks(_ptr64(rows64), nnz_pad, int(C), int(n),
+                            int(W_cap), _ptr32(lr), _ptr32(seg))
+        if w > 0:
+            return (lr.reshape(nchunks, C),
+                    seg.reshape(nchunks, W_cap), int(w))
+        if w == -1:
+            return None
+    rch = rows64.reshape(nchunks, C)
+    new_row = np.concatenate([np.ones((nchunks, 1), bool),
+                              rch[:, 1:] != rch[:, :-1]], axis=1)
+    lr = (np.cumsum(new_row, axis=1) - 1).astype(np.int32)
+    W = int(lr.max() + 1)
+    if W > W_cap:
+        return None
+    seg = np.full((nchunks, W_cap), n, np.int32)
+    np.put_along_axis(seg, lr, rch.astype(np.int32), axis=1)
+    return lr, seg, W

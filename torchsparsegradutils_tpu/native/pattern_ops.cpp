@@ -1,0 +1,110 @@
+// Native pattern-preprocessing kernels (host side).
+//
+// Sparse patterns in this library are static structure processed on the
+// host: CSR conversion, transposes, encoder assembly and the Pallas chunk
+// plans all begin with a lexicographic (row, col) sort of the nonzero
+// coordinates.  numpy's lexsort is comparison-based (O(nnz log nnz) with a
+// large constant); at the library's target scales (nnz 1e6-1e8, new
+// pattern per encoder/config) this dominates plan-build latency.  This
+// file provides an LSD radix sort over the packed 64-bit (row major, col
+// minor) key - O(nnz) with 4 16-bit passes - plus fused helpers used by
+// the planners.  Exposed with a plain C ABI for ctypes (no pybind11
+// dependency); Python falls back to numpy when the shared library is
+// unavailable.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Sort entry permutation by key[i] = rows[i] * m + cols[i] (row-major
+// lexicographic).  rows/cols: int64[nnz]; perm_out: int64[nnz].
+// Returns 0 on success.
+int lexsort_rowcol(const int64_t* rows, const int64_t* cols, int64_t nnz,
+                   int64_t m, int64_t* perm_out) {
+    if (nnz <= 0) return 0;
+    std::vector<uint64_t> key(nnz), key_tmp(nnz);
+    std::vector<int64_t> perm(nnz), perm_tmp(nnz);
+    for (int64_t i = 0; i < nnz; ++i) {
+        key[i] = static_cast<uint64_t>(rows[i]) * static_cast<uint64_t>(m)
+                 + static_cast<uint64_t>(cols[i]);
+        perm[i] = i;
+    }
+    // LSD radix sort, 16-bit digits
+    std::vector<int64_t> count(1 << 16);
+    for (int shift = 0; shift < 64; shift += 16) {
+        std::memset(count.data(), 0, count.size() * sizeof(int64_t));
+        bool any = false;
+        for (int64_t i = 0; i < nnz; ++i) {
+            uint32_t d = (key[i] >> shift) & 0xFFFF;
+            any |= (d != 0);
+            ++count[d];
+        }
+        if (!any && shift > 0) break;  // higher digits all zero: done
+        int64_t total = 0;
+        for (size_t d = 0; d < count.size(); ++d) {
+            int64_t c = count[d];
+            count[d] = total;
+            total += c;
+        }
+        for (int64_t i = 0; i < nnz; ++i) {
+            uint32_t d = (key[i] >> shift) & 0xFFFF;
+            int64_t pos = count[d]++;
+            key_tmp[pos] = key[i];
+            perm_tmp[pos] = perm[i];
+        }
+        key.swap(key_tmp);
+        perm.swap(perm_tmp);
+    }
+    std::memcpy(perm_out, perm.data(), nnz * sizeof(int64_t));
+    return 0;
+}
+
+// Compress sorted row indices into CSR indptr. rows: int64[nnz] sorted
+// non-decreasing; indptr_out: int64[n+1].
+int compress_rows(const int64_t* rows, int64_t nnz, int64_t n,
+                  int64_t* indptr_out) {
+    std::memset(indptr_out, 0, (n + 1) * sizeof(int64_t));
+    for (int64_t i = 0; i < nnz; ++i) {
+        int64_t r = rows[i];
+        if (r < 0 || r >= n) return 1;
+        ++indptr_out[r + 1];
+    }
+    for (int64_t r = 0; r < n; ++r) indptr_out[r + 1] += indptr_out[r];
+    return 0;
+}
+
+// Per-chunk local row ranks for the Pallas chunk plan: rows (sorted,
+// padded to nchunks*C with the last row), outputs lr int32[nchunks*C]
+// (rank of each entry's row within its chunk's distinct rows) and
+// seg_rows int32[nchunks*W_cap] (global row per rank slot; sentinel n).
+// Returns the max distinct-row count over chunks (<= W_cap needed), or -1
+// if some chunk exceeds W_cap.
+int64_t chunk_ranks(const int64_t* rows, int64_t nnz_pad, int64_t C,
+                    int64_t n, int64_t W_cap, int32_t* lr_out,
+                    int32_t* seg_rows_out) {
+    int64_t nchunks = nnz_pad / C;
+    int64_t maxw = 0;
+    for (int64_t c = 0; c < nchunks; ++c) {
+        const int64_t* r = rows + c * C;
+        int32_t* lr = lr_out + c * C;
+        int32_t* seg = seg_rows_out + c * W_cap;
+        for (int64_t w = 0; w < W_cap; ++w) seg[w] = static_cast<int32_t>(n);
+        int64_t rank = -1;
+        int64_t prev = -1;
+        for (int64_t i = 0; i < C; ++i) {
+            if (r[i] != prev) {
+                ++rank;
+                if (rank >= W_cap) return -1;
+                seg[rank] = static_cast<int32_t>(r[i]);
+                prev = r[i];
+            }
+            lr[i] = static_cast<int32_t>(rank);
+        }
+        if (rank + 1 > maxw) maxw = rank + 1;
+    }
+    return maxw;
+}
+
+}  // extern "C"

@@ -51,10 +51,8 @@ __all__ = [
 
 def _compress_rows_np(row: np.ndarray, n: int) -> np.ndarray:
     """Sorted row indices -> indptr (reference utils.py:152-233)."""
-    counts = np.bincount(row, minlength=n)
-    indptr = np.zeros(n + 1, dtype=row.dtype)
-    np.cumsum(counts, out=indptr[1:])
-    return indptr
+    from .. import native
+    return native.compress_rows(row, n, dtype=row.dtype)
 
 
 def coo_to_csr_indices_values(coo: SparseCOO):
@@ -66,17 +64,19 @@ def coo_to_csr_indices_values(coo: SparseCOO):
     (utils.py:236-346), which powers the encoder's CSR mode.
     Host-side: requires a concrete pattern.
     """
+    from .. import native
     row = coo.rows_np("coo_to_csr conversion")
     col = coo.cols_np("coo_to_csr conversion")
     n = coo.shape[-2]
+    m = coo.shape[-1]
     if row.ndim == 1:
-        perm = np.lexsort((col, row))
+        perm = native.lexsort_rowcol(row, col, m)
         return _compress_rows_np(row[perm], n), col[perm], perm
     flat_r = row.reshape(-1, coo.nnz)
     flat_c = col.reshape(-1, coo.nnz)
     indptrs, cols, perms = [], [], []
     for r, c in zip(flat_r, flat_c):
-        p = np.lexsort((c, r))
+        p = native.lexsort_rowcol(r, c, m)
         indptrs.append(_compress_rows_np(r[p], n))
         cols.append(c[p])
         perms.append(p)
