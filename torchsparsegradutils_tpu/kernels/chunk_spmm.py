@@ -174,14 +174,22 @@ def _combine(plan: ChunkPlan, partial_out, p: int):
     return out[:plan.n, :p]
 
 
-def chunk_spmm(plan: ChunkPlan, data, B):
-    """A @ B where A's entries follow the plan's order; B is (m, p)."""
+def chunk_gather(plan: ChunkPlan, B):
+    """The entry-order gather of B rows (the forward's main HBM traffic);
+    reusable as a backward residual."""
+    Bp, _ = _pad_cols(B)
+    return jnp.take(Bp, jnp.asarray(plan.gather_idx), axis=0)
+
+
+def chunk_spmm(plan: ChunkPlan, data, B, pg=None):
+    """A @ B where A's entries follow the plan's order; B is (m, p).
+    ``pg`` may supply a precomputed :func:`chunk_gather` result."""
     SB, C, W = plan.SB, plan.C, plan.W
     if plan.perm is not None:
         data = jnp.take(data, jnp.asarray(plan.perm))
     vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
     Bp, p = _pad_cols(B)
-    Pg = jnp.take(Bp, jnp.asarray(plan.gather_idx), axis=0)
+    Pg = chunk_gather(plan, B) if pg is None else pg
     p_pad = Bp.shape[1]
     grid, lr_s, v_s, pg_s, _, part_s = _grid_specs(plan, p_pad)
 
@@ -248,19 +256,22 @@ def chunk_sddmm(plan: ChunkPlan, X, Y):
     return dd
 
 
-def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G):
+def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
+                         pg=None):
     """Fused backward of A @ B: returns (d_data (nnz,), d_B (m, p)).
 
     One kernel pass over the row-sorted entries emits both the SDDMM
     values and V[e] = data_e · G[row_e]; a second row-sum pass over the
     column-sorted order of V yields AᵀG without any per-entry value
-    permutation (V rows are gathered, which is fast; scalars are not)."""
+    permutation (V rows are gathered, which is fast; scalars are not).
+    ``pg`` may supply the forward's :func:`chunk_gather` residual, saving
+    the re-gather of B rows."""
     SB, C, W = plan.SB, plan.C, plan.W
     Bp, p = _pad_cols(B)
     Gp, _ = _pad_cols(G)
     p_pad = Bp.shape[1]
     vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
-    Pg = jnp.take(Bp, jnp.asarray(plan.gather_idx), axis=0)
+    Pg = chunk_gather(plan, B) if pg is None else pg
     Gw = jnp.take(Gp, jnp.asarray(
         np.minimum(plan.seg_rows, plan.n - 1).reshape(-1)), axis=0
     ).reshape(plan.nchunks, W, p_pad)

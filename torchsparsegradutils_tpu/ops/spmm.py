@@ -156,12 +156,23 @@ def _spmm_cv(backend, A, B):
 
 
 def _spmm_cv_fwd(backend, A, B):
-    return _spmm_cv(backend, A, B), (A, B)
+    # pallas path: re-derive the forward's gathered B rows as a residual so
+    # the fused backward skips one full random re-gather of B.  The primal
+    # must come from the custom rule itself (higher-order linearization);
+    # XLA CSE merges this take with the identical one inside the forward.
+    out = _spmm_cv(backend, A, B)
+    pg = None
+    if _pallas_ok(A, B.shape[-1], backend):
+        plan = _chunk_plan(A, backend)
+        if plan is not None:
+            from ..kernels.chunk_spmm import chunk_gather
+            pg = chunk_gather(plan, B)
+    return out, (A, B, pg)
 
 
 def _spmm_cv_bwd(backend, res, g):
-    A, B = res
-    d_data, d_B = _spmm_bwd_pair(backend, A, B, g)
+    A, B, pg = res
+    d_data, d_B = _spmm_bwd_pair(backend, A, B, g, pg)
     return sparse_cotangent(A, d_data), d_B
 
 
@@ -169,36 +180,41 @@ _spmm_cv.defvjp(_spmm_cv_fwd, _spmm_cv_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _spmm_bwd_pair(backend, A, B, g):
+def _spmm_bwd_pair(backend, A, B, g, pg):
     """(d_data, d_B) of ``A @ B`` given output cotangent g.
 
     First-order: one fused Pallas pass (SDDMM values + V rows) plus a
     column-order row-sum — no per-entry value permutation.  Its own VJP
     (for higher-order grads) is expressed in plain differentiable ops.
+
+    ``pg`` is the forward's gathered-B residual (or None); it is treated
+    as *derived from B* — callers must pass ``chunk_gather(plan, B)`` or
+    None — so its cotangent is zero and all sensitivity is attributed to B.
     """
     if _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         plan_t = _chunk_plan(A, backend, transpose=True)
         if plan is not None and plan_t is not None:
-            return chunk_spmm_bwd_fused(plan, plan_t, A.data, B, g)
+            return chunk_spmm_bwd_fused(plan, plan_t, A.data, B, g, pg=pg)
     d_data = _sddmm_values(backend, A, g, B)
     d_B = _spmm_transpose(backend, A, g)
     return d_data, d_B
 
 
-def _spmm_bwd_pair_fwd(backend, A, B, g):
-    return _spmm_bwd_pair(backend, A, B, g), (A, B, g)
+def _spmm_bwd_pair_fwd(backend, A, B, g, pg):
+    return _spmm_bwd_pair(backend, A, B, g, pg), (A, B, g, pg)
 
 
 def _spmm_bwd_pair_bwd(backend, res, cts):
-    A, B, g = res
+    A, B, g, pg = res
     ct_dd, ct_dB = cts
     ct_sp = A.with_data(ct_dd)
     # d_data = sddmm(g, B) at pattern; d_B = Aᵀ g
     d_Adata = _fallback_sddmm(A.rows(), A.cols(), g, ct_dB)
     d_B = _spmm_transpose("xla", ct_sp, g)
     d_g = _spmm_forward("xla", ct_sp, B) + _spmm_forward("xla", A, ct_dB)
-    return sparse_cotangent(A, d_Adata), d_B, d_g
+    d_pg = None if pg is None else jnp.zeros_like(pg)
+    return sparse_cotangent(A, d_Adata), d_B, d_g, d_pg
 
 
 _spmm_bwd_pair.defvjp(_spmm_bwd_pair_fwd, _spmm_bwd_pair_bwd)
