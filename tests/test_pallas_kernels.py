@@ -103,3 +103,90 @@ def test_pallas_empty_rows_and_skew(key, layout):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(A.todense() @ B), rtol=1e-5,
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------- logsumexp
+
+from torchsparsegradutils_tpu import sparse_logsumexp, sparse_bidir_logsumexp  # noqa: E402
+from torchsparsegradutils_tpu import SparseCOO  # noqa: E402
+
+
+def _lse_fixture(layout):
+    row = np.array([0, 1, 1, 3])
+    col = np.array([1, 0, 2, 1])
+    data = jnp.array([1.0, 2.0, 3.0, -1.0])
+    coo = SparseCOO(row, col, data, (4, 4))  # row 2 / col 3 empty
+    return coo if layout == "coo" else coo.tocsr()
+
+
+@pytest.mark.parametrize("include_zeros", [True, False])
+@pytest.mark.parametrize("dim", [0, 1])
+def test_pallas_lse_matches_xla(key, layout, dim, include_zeros):
+    sp = _lse_fixture(layout)
+    out_p = sparse_logsumexp(sp, dim, include_zeros=include_zeros,
+                             backend="pallas")
+    out_x = sparse_logsumexp(sp, dim, include_zeros=include_zeros,
+                             backend="xla")
+    a, b = np.asarray(out_p), np.asarray(out_x)
+    assert (np.isneginf(a) == np.isneginf(b)).all()
+    fin = np.isfinite(b)
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("include_zeros", [True, False])
+def test_pallas_lse_random(key, layout, include_zeros):
+    from torchsparsegradutils_tpu.utils import rand_sparse
+    sp = rand_sparse(key, (30, 22), 80, layout=layout)
+    for dim in (0, 1):
+        out_p = sparse_logsumexp(sp, dim, include_zeros=include_zeros,
+                                 backend="pallas")
+        out_x = sparse_logsumexp(sp, dim, include_zeros=include_zeros,
+                                 backend="xla")
+        a, b = np.asarray(out_p), np.asarray(out_x)
+        fin = np.isfinite(b)
+        assert (np.isfinite(a) == fin).all()
+        np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_lse_grad(key, layout):
+    from torchsparsegradutils_tpu.utils import rand_sparse
+    sp = rand_sparse(key, (25, 18), 60, layout=layout)
+    for dim in (0, 1):
+        def loss(d, backend, dim=dim):
+            out = sparse_logsumexp(sp.with_data(d), dim, backend=backend)
+            return jnp.where(jnp.isfinite(out), out, 0.0).sum()
+
+        g_p = jax.grad(lambda d: loss(d, "pallas"))(sp.data)
+        g_x = jax.grad(lambda d: loss(d, "xla"))(sp.data)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_lse_inf_values(layout):
+    row = np.array([0, 0, 1])
+    col = np.array([0, 1, 1])
+    data = jnp.array([jnp.inf, 1.0, -jnp.inf])
+    coo = SparseCOO(row, col, data, (2, 2))
+    sp = coo if layout == "coo" else coo.tocsr()
+    out = sparse_logsumexp(sp, 1, include_zeros=False, backend="pallas")
+    assert np.isposinf(np.asarray(out)[0])
+    assert np.isneginf(np.asarray(out)[1])
+
+
+def test_pallas_bidir(key, layout):
+    from torchsparsegradutils_tpu.utils import rand_sparse
+    sp = rand_sparse(key, (14, 20), 40, layout=layout)
+    col_p, row_p = sparse_bidir_logsumexp(sp, backend="pallas")
+    col_x, row_x = sparse_bidir_logsumexp(sp, backend="xla")
+    for a, b in ((col_p, col_x), (row_p, row_x)):
+        a, b = np.asarray(a), np.asarray(b)
+        fin = np.isfinite(b)
+        np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-6)
+    pad_p = sparse_bidir_logsumexp(sp, output_layout="padded",
+                                   backend="pallas")
+    pad_x = sparse_bidir_logsumexp(sp, output_layout="padded",
+                                   backend="xla")
+    a, b = np.asarray(pad_p), np.asarray(pad_x)
+    fin = np.isfinite(b)
+    assert (np.isneginf(a) == np.isneginf(b)).all()
+    np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-6)

@@ -96,10 +96,39 @@ def _validate_dims(ndim: int, dim) -> list:
     return sorted(normalised)
 
 
+def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
+    """Pallas chunked one-pass LSE for 2-D static patterns; None if the
+    path does not apply."""
+    from ..kernels import dispatch
+    from ..kernels.chunk_lse import lse_fn, lse_fn_transposed
+
+    if backend == "xla":
+        return None
+    if backend != "pallas" and not dispatch.on_tpu():
+        return None
+    if A.ndim != 2 or A.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    rs, cs = A.row_sa(), A.col_sa()
+    if rs is None or cs is None or rs.arr.ndim != 1:
+        return None
+    n, m = A.mat_shape
+    if over_cols:
+        res = lse_fn_transposed(rs, cs, n, m, include_zeros)
+        if res is None:
+            return None
+        fn, perm = res
+        return fn(jnp.take(A.data, jnp.asarray(perm)))
+    fn = lse_fn(rs, cs, n, m, include_zeros)
+    if fn is None:
+        return None
+    return fn(A.data)
+
+
 def sparse_logsumexp(A: Union[SparseCOO, SparseCSR],
                      dim: Union[int, Sequence[int]],
                      keepdim: bool = False,
-                     include_zeros: bool = True):
+                     include_zeros: bool = True,
+                     backend: str = "auto"):
     """Log-sum-exp along ``dim`` of a sparse matrix, O(nnz) memory.
 
     ``include_zeros=True`` treats absent entries as genuine zeros (each
@@ -124,8 +153,17 @@ def sparse_logsumexp(A: Union[SparseCOO, SparseCSR],
             "Cannot reduce the batch dimension (0) of a batched 3-D sparse "
             "tensor")
     nrows, ncols = A.mat_shape
-    rows, cols, vals, b = _flat_indices(A)
     red = [d - 1 for d in dims] if batched else dims  # within-matrix dims
+
+    if not batched and len(red) == 1:
+        out = _chunked_lse(A, include_zeros, over_cols=(red == [0]),
+                           backend=backend)
+        if out is not None:
+            if keepdim:
+                out = out[None, :] if red == [0] else out[:, None]
+            return out
+
+    rows, cols, vals, b = _flat_indices(A)
 
     if red == [0]:        # reduce over rows -> one value per column
         seg_in, n_groups, width = cols, ncols, nrows
@@ -174,7 +212,8 @@ def sparse_logsumexp(A: Union[SparseCOO, SparseCSR],
 def sparse_bidir_logsumexp(A: Union[SparseCOO, SparseCSR],
                            keepdim: bool = False,
                            include_zeros: bool = True,
-                           output_layout: str = "tuple"):
+                           output_layout: str = "tuple",
+                           backend: str = "auto"):
     """Row- AND column-wise log-sum-exp in one traversal.
 
     Returns ``(col_lse, row_lse)`` — the reduction over rows (one value per
@@ -210,6 +249,22 @@ def sparse_bidir_logsumexp(A: Union[SparseCOO, SparseCSR],
     batched = A.ndim == 3
     nrows, ncols = A.mat_shape
     G = max(nrows, ncols)
+
+    if not batched:
+        row_lse = _chunked_lse(A, include_zeros, over_cols=False,
+                               backend=backend)
+        col_lse = _chunked_lse(A, include_zeros, over_cols=True,
+                               backend=backend) if row_lse is not None \
+            else None
+        if col_lse is not None:
+            if output_layout == "padded":
+                padded = jnp.full((2, G), -jnp.inf, row_lse.dtype)
+                return padded.at[0, :ncols].set(col_lse).at[
+                    1, :nrows].set(row_lse)
+            if keepdim:
+                return col_lse[None, :], row_lse[:, None]
+            return col_lse, row_lse
+
     rows, cols, vals, b = _flat_indices(A)
 
     # direction 0: col_lse (segment by column); direction 1: row_lse (by row)
