@@ -45,8 +45,23 @@ from ..types import SparseCOO, SparseCSR
 __all__ = [
     "PairwiseEncoder",
     "calc_pairwise_coo_indices_nd",
+    "calc_pairwise_coo_indices",
     "PairwiseVoxelEncoder",
 ]
+
+
+def calc_pairwise_coo_indices(radius, volume_shape, diag=False, upper=None,
+                              channel_voxel_relation="indep",
+                              index_dtype=np.int64):
+    """Deprecated 3-D (C, H, D, W) wrapper (reference
+    pairwise_encoder.py:508-559)."""
+    warnings.warn("calc_pairwise_coo_indices is deprecated; use "
+                  "calc_pairwise_coo_indices_nd", DeprecationWarning,
+                  stacklevel=2)
+    if len(volume_shape) != 4:
+        raise ValueError("volume_shape must be a 4D tuple [C, H, D, W]")
+    return calc_pairwise_coo_indices_nd(radius, volume_shape, diag, upper,
+                                        channel_voxel_relation, index_dtype)
 
 
 def _trim_nd(x, offsets: Tuple[int, ...]):
