@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import StaticArray
+from ..types import StaticArray, as_device_array
 from .chunk_spmm import ChunkPlan, build_chunk_plan, interpret_mode
 
 NEG_INF = float("-inf")
@@ -68,13 +68,13 @@ def _lse_partials(plan: ChunkPlan, data):
         out_shape=(jax.ShapeDtypeStruct((plan.nchunks, W), data.dtype),
                    jax.ShapeDtypeStruct((plan.nchunks, W), data.dtype)),
         interpret=interpret_mode(),
-    )(jnp.asarray(plan.lr), vals)
+    )(as_device_array(plan.lr), vals)
 
 
 def _lse_combine(plan: ChunkPlan, pm, ps, counts: np.ndarray, width: int,
                  include_zeros: bool):
     n = plan.n
-    seg = jnp.asarray(plan.seg_rows.reshape(-1))
+    seg = as_device_array(plan.seg_rows).reshape(-1)
     pmf = pm.reshape(-1)
     psf = ps.reshape(-1)
     M = jax.ops.segment_max(pmf, seg, num_segments=n + 1)[:n]
@@ -107,7 +107,7 @@ def _lse_bwd_pass(plan: ChunkPlan, data, out, g):
     vals = _pad_entries_neginf(data, plan).reshape(plan.nchunks, C)
     pad1 = jnp.concatenate([out, jnp.zeros(1, out.dtype)])
     padg = jnp.concatenate([g, jnp.zeros(1, g.dtype)])
-    seg = jnp.asarray(np.minimum(plan.seg_rows, plan.n).reshape(-1))
+    seg = as_device_array(np.minimum(plan.seg_rows, plan.n)).reshape(-1)
     OutR = jnp.take(pad1, seg).reshape(plan.nchunks, W)
     GR = jnp.take(padg, seg).reshape(plan.nchunks, W)
 
@@ -133,7 +133,7 @@ def _lse_bwd_pass(plan: ChunkPlan, data, out, g):
         in_specs=[spec_c, spec_c, spec_w, spec_w], out_specs=spec_c,
         out_shape=jax.ShapeDtypeStruct((plan.nchunks, C), data.dtype),
         interpret=interpret_mode(),
-    )(jnp.asarray(plan.lr), vals, OutR, GR)
+    )(as_device_array(plan.lr), vals, OutR, GR)
     return dv.reshape(-1)[:plan.nnz]
 
 

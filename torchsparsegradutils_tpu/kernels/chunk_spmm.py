@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import StaticArray
+from ..types import StaticArray, as_device_array
 
 HI = jax.lax.Precision.HIGHEST
 LANE = 128
@@ -167,7 +167,7 @@ def _grid_specs(plan: ChunkPlan, p_pad: int):
 
 
 def _combine(plan: ChunkPlan, partial_out, p: int):
-    seg = jnp.asarray(plan.seg_rows.reshape(-1))
+    seg = as_device_array(plan.seg_rows).reshape(-1)
     out = jax.ops.segment_sum(
         partial_out.reshape(-1, partial_out.shape[-1]), seg,
         num_segments=plan.n + 1)
@@ -178,7 +178,7 @@ def chunk_gather(plan: ChunkPlan, B):
     """The entry-order gather of B rows (the forward's main HBM traffic);
     reusable as a backward residual."""
     Bp, _ = _pad_cols(B)
-    return jnp.take(Bp, jnp.asarray(plan.gather_idx), axis=0)
+    return jnp.take(Bp, as_device_array(plan.gather_idx), axis=0)
 
 
 def chunk_spmm(plan: ChunkPlan, data, B, pg=None):
@@ -186,7 +186,7 @@ def chunk_spmm(plan: ChunkPlan, data, B, pg=None):
     ``pg`` may supply a precomputed :func:`chunk_gather` result."""
     SB, C, W = plan.SB, plan.C, plan.W
     if plan.perm is not None:
-        data = jnp.take(data, jnp.asarray(plan.perm))
+        data = jnp.take(data, as_device_array(plan.perm))
     vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
     Bp, p = _pad_cols(B)
     Pg = chunk_gather(plan, B) if pg is None else pg
@@ -208,7 +208,7 @@ def chunk_spmm(plan: ChunkPlan, data, B, pg=None):
         kernel, grid=grid, in_specs=[lr_s, v_s, pg_s], out_specs=part_s,
         out_shape=jax.ShapeDtypeStruct((plan.nchunks, W, p_pad), B.dtype),
         interpret=interpret_mode(),
-    )(jnp.asarray(plan.lr), vals, Pg)
+    )(as_device_array(plan.lr), vals, Pg)
     return _combine(plan, partial_out, p)
 
 
@@ -221,9 +221,9 @@ def chunk_sddmm(plan: ChunkPlan, X, Y):
     Yp, p = _pad_cols(Y)
     Xp, _ = _pad_cols(X)
     p_pad = Yp.shape[1]
-    Pg = jnp.take(Yp, jnp.asarray(plan.gather_idx), axis=0)
-    Xw = jnp.take(Xp, jnp.asarray(
-        np.minimum(plan.seg_rows, plan.n - 1).reshape(-1)), axis=0
+    Pg = jnp.take(Yp, as_device_array(plan.gather_idx), axis=0)
+    Xw = jnp.take(Xp, as_device_array(
+        np.minimum(plan.seg_rows, plan.n - 1)).reshape(-1), axis=0
     ).reshape(plan.nchunks, W, p_pad)
     grid, lr_s, _, pg_s, gw_s, _ = _grid_specs(plan, p_pad)
     dd_spec = pl.BlockSpec((SB, C), lambda s, j: (s, 0),
@@ -251,9 +251,25 @@ def chunk_sddmm(plan: ChunkPlan, X, Y):
         kernel, grid=grid, in_specs=[lr_s, pg_s, gw_s], out_specs=dd_spec,
         out_shape=jax.ShapeDtypeStruct((plan.nchunks, C), X.dtype),
         interpret=interpret_mode(),
-    )(jnp.asarray(plan.lr), Pg, Xw)
+    )(as_device_array(plan.lr), Pg, Xw)
     dd = dd.reshape(-1)[:plan.nnz]
     return dd
+
+
+_PERM_PAD = {}
+
+
+def _perm_pad_cache(plan_t: ChunkPlan):
+    key = id(plan_t)
+    hit = _PERM_PAD.get(key)
+    if hit is not None and hit[0] is plan_t:
+        return hit[1]
+    with jax.ensure_compile_time_eval():
+        pp = jnp.asarray(np.concatenate([
+            plan_t.perm.astype(np.int64),
+            np.zeros(plan_t.nnz_pad - plan_t.nnz, np.int64)]))
+    _PERM_PAD[key] = (plan_t, pp)
+    return pp
 
 
 def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
@@ -272,8 +288,8 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
     p_pad = Bp.shape[1]
     vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
     Pg = chunk_gather(plan, B) if pg is None else pg
-    Gw = jnp.take(Gp, jnp.asarray(
-        np.minimum(plan.seg_rows, plan.n - 1).reshape(-1)), axis=0
+    Gw = jnp.take(Gp, as_device_array(
+        np.minimum(plan.seg_rows, plan.n - 1)).reshape(-1), axis=0
     ).reshape(plan.nchunks, W, p_pad)
     grid, lr_s, v_s, pg_s, gw_s, _ = _grid_specs(plan, p_pad)
     dd_spec = pl.BlockSpec((SB, C), lambda s, j: (s, 0),
@@ -309,15 +325,13 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
         out_shape=(jax.ShapeDtypeStruct((plan.nchunks, C), data.dtype),
                    jax.ShapeDtypeStruct((plan.nnz_pad, p_pad), B.dtype)),
         interpret=interpret_mode(),
-    )(jnp.asarray(plan.lr), vals, Pg, Gw)
+    )(as_device_array(plan.lr), vals, Pg, Gw)
     d_data = dd.reshape(-1)[:plan.nnz]
 
     # second pass: d_B[c] = Σ_{e in col c} V[e]  — row-sum of V in the
     # column-sorted order (plan_t), with unit weights.
-    perm_pad = np.concatenate([
-        plan_t.perm.astype(np.int64),
-        np.zeros(plan_t.nnz_pad - plan_t.nnz, np.int64)])
-    Vg = jnp.take(V, jnp.asarray(perm_pad), axis=0)
+    perm_pad = _perm_pad_cache(plan_t)
+    Vg = jnp.take(V, perm_pad, axis=0)
     ones = jnp.zeros((plan_t.nnz_pad,), B.dtype).at[:plan_t.nnz].set(1.0)
     SBt, Ct, Wt = plan_t.SB, plan_t.C, plan_t.W
     grid_t, lr_t, v_t, pg_t, _, part_t = _grid_specs(plan_t, p_pad)
@@ -338,6 +352,6 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
         out_shape=jax.ShapeDtypeStruct((plan_t.nchunks, Wt, p_pad),
                                        B.dtype),
         interpret=interpret_mode(),
-    )(jnp.asarray(plan_t.lr), ones.reshape(plan_t.nchunks, Ct), Vg)
+    )(as_device_array(plan_t.lr), ones.reshape(plan_t.nchunks, Ct), Vg)
     d_B = _combine(plan_t, partial_t, p)
     return d_data, d_B

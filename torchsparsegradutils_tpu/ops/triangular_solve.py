@@ -41,7 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import SparseCOO, SparseCSR, StaticArray, is_sparse
+from ..types import (SparseCOO, SparseCSR, StaticArray, as_device_array,
+                      is_sparse)
 from .common import sparse_cotangent
 from .spmm import sddmm
 
@@ -62,11 +63,11 @@ class _TriPlan:
     diag_bi: np.ndarray
     diag_ri: np.ndarray
     diag_ci: np.ndarray
-    # off-diagonal ELL tables, shape (nblk, nb, K)
+    # off-diagonal ELL tables, shape (nblk, nb, K); ell_sel pads with the
+    # sentinel nnz (callers gather from data extended by one zero)
     ell_sel: np.ndarray
     ell_cols: np.ndarray
-    ell_mask: np.ndarray
-    pad_eye: np.ndarray    # (nblk, nb, nb) identity entries for padded rows
+    nnz: int
 
 
 @lru_cache(maxsize=256)
@@ -99,23 +100,19 @@ def _build_tri_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
     np.cumsum(counts, out=starts[1:])
     slot = np.arange(len(off_rows)) - starts[off_rows]
 
-    ell_sel = np.zeros((n_pad, K), np.int32)
+    nnz = len(rows)
+    ell_sel = np.full((n_pad, K), nnz, np.int32)   # sentinel -> zero value
     ell_cols = np.zeros((n_pad, K), np.int32)
-    ell_mask = np.zeros((n_pad, K), bool)
     ell_sel[off_rows, slot] = off_sel
     ell_cols[off_rows, slot] = cols[off_sel]
-    ell_mask[off_rows, slot] = True
 
-    pad_eye = np.zeros((nblk, nb, nb), np.float32)
-    for r in range(n, n_pad):
-        pad_eye[nblk - 1, r % nb, r % nb] = 1.0
-
-    return _TriPlan(n=n, nb=nb, nblk=nblk, diag_sel=diag_sel,
-                    diag_bi=diag_bi, diag_ri=diag_ri, diag_ci=diag_ci,
+    return _TriPlan(n=n, nb=nb, nblk=nblk,
+                    diag_sel=diag_sel.astype(np.int32),
+                    diag_bi=diag_bi.astype(np.int32),
+                    diag_ri=diag_ri.astype(np.int32),
+                    diag_ci=diag_ci.astype(np.int32),
                     ell_sel=ell_sel.reshape(nblk, nb, K),
-                    ell_cols=ell_cols.reshape(nblk, nb, K),
-                    ell_mask=ell_mask.reshape(nblk, nb, K),
-                    pad_eye=pad_eye)
+                    ell_cols=ell_cols.reshape(nblk, nb, K), nnz=nnz)
 
 
 def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
@@ -127,17 +124,23 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
     K = plan.ell_cols.shape[-1]
 
     D = jnp.zeros((nblk, nb, nb), dtype)
-    D = D.at[plan.diag_bi, plan.diag_ri, plan.diag_ci].add(
-        jnp.take(data, jnp.asarray(plan.diag_sel)) if len(plan.diag_sel)
+    D = D.at[as_device_array(plan.diag_bi), as_device_array(plan.diag_ri), as_device_array(plan.diag_ci)].add(
+        jnp.take(data, as_device_array(plan.diag_sel)) if len(plan.diag_sel)
         else jnp.zeros((0,), dtype))
     if not unit:
-        D = D + jnp.asarray(plan.pad_eye, dtype)
-    vals = jnp.where(jnp.asarray(plan.ell_mask),
-                     jnp.take(data, jnp.asarray(plan.ell_sel.reshape(-1))
-                              ).reshape(nblk, nb, K), 0.0)
+        # unit diagonal for the padded rows of the last block (in-graph,
+        # avoids a (nblk, nb, nb) constant)
+        first_pad = n - (nblk - 1) * nb
+        ri = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+        eye_pad = jnp.where((ri == ci) & (ri >= first_pad), 1.0, 0.0)
+        D = D.at[nblk - 1].add(eye_pad.astype(dtype))
+    data_ext = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
+    vals = jnp.take(data_ext, as_device_array(plan.ell_sel).reshape(-1)
+                    ).reshape(nblk, nb, K)
     Bp = jnp.zeros((n_pad, p), dtype).at[:n].set(B)
     B_blocks = Bp.reshape(nblk, nb, p)
-    cols_xs = jnp.asarray(plan.ell_cols)
+    cols_xs = as_device_array(plan.ell_cols)
     offs = jnp.arange(nblk, dtype=jnp.int32) * nb
 
     def step(x, inp):

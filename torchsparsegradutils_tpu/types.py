@@ -120,6 +120,31 @@ def is_sparse(x) -> bool:
     return isinstance(x, (SparseCOO, SparseCSR))
 
 
+_DEVICE_CACHE: dict = {}
+
+
+def as_device_array(arr: np.ndarray):
+    """Cached numpy -> jax array conversion for static plan tables.
+
+    Capturing a numpy array in a jitted function inlines it as an HLO
+    literal (bloating the program — the tunnelled remote compiler rejects
+    >~100 MB bodies); capturing a jax array passes it by reference.  The
+    cache holds a strong reference to the numpy array, so its id stays
+    valid as a key."""
+    if not isinstance(arr, np.ndarray):
+        return arr
+    key = id(arr)
+    hit = _DEVICE_CACHE.get(key)
+    if hit is not None and hit[0] is arr:
+        return hit[1]
+    # force an eager (non-traced) conversion even when called inside jit,
+    # otherwise the cache would capture and leak a tracer
+    with jax.ensure_compile_time_eval():
+        dev = jnp.asarray(arr)
+    _DEVICE_CACHE[key] = (arr, dev)
+    return dev
+
+
 class _SparseBase:
     """Shared behaviour of SparseCOO / SparseCSR."""
 
