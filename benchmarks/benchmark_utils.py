@@ -29,7 +29,7 @@ def env_info() -> Dict[str, str]:
     dev = jax.devices()[0]
     return {
         "jax_version": jax.__version__,
-        "backend": jax.default_backend(),
+        "jax_backend": jax.default_backend(),
         "device": str(dev.device_kind),
         "platform": dev.platform,
     }
