@@ -55,7 +55,8 @@ def compiled_memory_mb(fn: Callable, *args) -> Optional[float]:
 
 
 def measure_op(fn: Callable, args, n_warmup: int = 3, n_runs: int = 20,
-               pipeline: int = 5) -> Dict[str, float]:
+               pipeline: int = 5, with_memory: bool = True
+               ) -> Dict[str, float]:
     """Compile + time ``fn(*args)``; returns mean/std µs and memory MB.
     OOM or other failures return NaN timings with the error recorded."""
     jfn = jax.jit(fn)
@@ -69,9 +70,13 @@ def measure_op(fn: Callable, args, n_warmup: int = 3, n_runs: int = 20,
             t0 = time.perf_counter()
             outs = [jfn(*args) for _ in range(pipeline)]
             jax.block_until_ready(outs)
+            # force a real host sync with a scalar-sized transfer (a full
+            # array pull over the tunnel costs tens of ms and adds noise)
+            leaf = jax.tree_util.tree_leaves(outs[-1])[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
             times.append((time.perf_counter() - t0) * 1e6 / pipeline)
         mean_us, std_us = _trimmed(times)
-        mem = compiled_memory_mb(fn, *args)
+        mem = compiled_memory_mb(fn, *args) if with_memory else None
         return {"time_us": round(mean_us, 1), "time_std_us": round(std_us, 1),
                 "mem_MB": mem, "error": ""}
     except Exception as e:  # noqa: BLE001 - record and continue the sweep

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from torchsparsegradutils_tpu import sparse_generic_solve
+from torchsparsegradutils_tpu import sparse_generic_solve, sparse_mm
 from torchsparsegradutils_tpu.solvers import (
     BICGSTABSettings, LinearCGSettings, MINRESSettings,
     bicgstab, linear_cg, minres)
@@ -41,16 +41,18 @@ def main(small: bool = False):
     for name, solver, kw in configs:
         fwd = lambda d, b: sparse_generic_solve(
             A.with_data(d), b, solve=solver, transpose_solve=solver, **kw)
-        r = measure_op(fwd, (A.data, b), n_runs=10, pipeline=2)
+        r = measure_op(fwd, (A.data, b), n_runs=10, pipeline=2,
+                       with_memory=False)
         x = jax.jit(fwd)(A.data, b)
         res = float(jnp.linalg.norm(
-            (A.todense() @ x) - b) / jnp.linalg.norm(b))
+            sparse_mm(A, x[:, None])[:, 0] - b) / jnp.linalg.norm(b))
         rows.append(dict(op="solve_fwd", algorithm=name, n=n, nnz=nnz,
                          rel_residual=round(res, 6), **r))
         bwd = jax.grad(lambda d, b: (sparse_generic_solve(
             A.with_data(d), b, solve=solver, transpose_solve=solver,
             **kw) ** 2).sum())
-        r = measure_op(bwd, (A.data, b), n_runs=10, pipeline=2)
+        r = measure_op(bwd, (A.data, b), n_runs=10, pipeline=2,
+                       with_memory=False)
         rows.append(dict(op="solve_bwd", algorithm=name, n=n, nnz=nnz,
                          rel_residual=None, **r))
         print(rows[-2], rows[-1], sep="\n", flush=True)

@@ -24,20 +24,19 @@ def main(small: bool = False):
     A = rand_sparse_tri(key, (n, n), nnz, upper=False, layout="csr")
     B = jax.random.normal(jax.random.fold_in(key, 1), (n, m))
     rows = []
-    for bs in (128, 256, 512):
+    for bs in (128, 256):
         fwd = lambda d, B: sparse_triangular_solve(
             A.with_data(d), B, upper=False, block_size=bs)
-        r = measure_op(fwd, (A.data, B), n_runs=10, pipeline=2)
-        x = jax.jit(fwd)(A.data, B)
-        res = float(jnp.linalg.norm(A.todense() @ x - B)
-                    / jnp.linalg.norm(B))
+        r = measure_op(fwd, (A.data, B), n_runs=6, pipeline=2,
+                       with_memory=False)
         rows.append(dict(op="tri_solve_fwd", block_size=bs, n=n, nnz=nnz,
-                         rhs=m, rel_residual=round(res, 8), **r))
+                         rhs=m, **r))
         bwd = jax.grad(lambda d, B: (sparse_triangular_solve(
             A.with_data(d), B, upper=False, block_size=bs) ** 2).sum())
-        r = measure_op(bwd, (A.data, B), n_runs=10, pipeline=2)
+        r = measure_op(bwd, (A.data, B), n_runs=6, pipeline=2,
+                       with_memory=False)
         rows.append(dict(op="tri_solve_bwd", block_size=bs, n=n, nnz=nnz,
-                         rhs=m, rel_residual=None, **r))
+                         rhs=m, **r))
         print(rows[-2], rows[-1], sep="\n", flush=True)
     write_csv("sparse_triangular_solve_results.csv", rows)
 

@@ -12,16 +12,18 @@ TPU-native difference: the foreign solver runs on host via
 ``sparse_generic_solve``'s implicit-function-theorem backward, so the host
 solver never needs to be differentiable — exactly the reference's design
 point (the solver is a black box; only ``A x = B`` at the solution
-matters)."""
+matters).
+
+Platform note: host callbacks require a runtime with send/recv support
+(standard CPU/GPU/TPU runtimes have it; some experimental PJRT plugins —
+e.g. tunnelled axon TPUs — do not and raise UNIMPLEMENTED)."""
 
 from __future__ import annotations
 
 import inspect
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 try:

@@ -34,7 +34,7 @@ import warnings
 from functools import reduce
 from itertools import product
 from operator import mul
-from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
+from typing import Dict, List, Optional, Set, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -23,14 +23,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..types import SparseCOO, SparseCSR, is_sparse
+from ..types import is_sparse
 
 __all__ = ["RowShardedMatrix", "shard_rows", "sharded_sparse_mm"]
 

@@ -25,15 +25,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.encoders import PairwiseEncoder
-from .sharding import RowShardedMatrix, shard_rows
 
 __all__ = ["make_model", "make_train_step", "init_params", "loss_fn"]
 

@@ -15,7 +15,7 @@ builders), mirroring the reference's NamedTuple settings objects
 
 from __future__ import annotations
 
-from typing import Callable, Union
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ Reference parity: containers play the role of ``torch.sparse_coo_tensor`` /
 from __future__ import annotations
 
 import hashlib
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Differences by design (TPU-first):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
