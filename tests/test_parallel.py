@@ -101,3 +101,35 @@ def test_train_step_grad_matches_single_device(key):
             np.asarray(new_params[k]),
             np.asarray(params[k]) - np.asarray(g_ref[k]),
             rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_chunk_spmm(key):
+    """Pallas chunk kernel composed with shard_map row sharding."""
+    from torchsparsegradutils_tpu.parallel.chunk_sharded import (
+        build_sharded_chunk_plan, sharded_chunk_spmm)
+    A = rand_sparse(key, (64, 40), 400, layout="csr")
+    B = jax.random.normal(jax.random.fold_in(key, 1), (40, 8))
+    mesh = _mesh1d()
+    plan = build_sharded_chunk_plan(A, 8, C=128)
+    out = sharded_chunk_spmm(plan, A.data, B, mesh, "x")
+    ref = A.todense() @ B
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sharded_chunk_spmm_uneven(key):
+    from torchsparsegradutils_tpu.parallel.chunk_sharded import (
+        build_sharded_chunk_plan, sharded_chunk_spmm)
+    # n not divisible by shards; some shards nearly empty
+    import numpy as _np
+    from torchsparsegradutils_tpu import SparseCOO
+    row = _np.array([0, 0, 1, 5, 61])
+    col = _np.array([1, 3, 2, 0, 4])
+    A = SparseCOO(row, col, jnp.arange(1.0, 6.0), (62, 5)).tocsr()
+    B = jax.random.normal(key, (5, 4))
+    mesh = _mesh1d(n=4)
+    plan = build_sharded_chunk_plan(A, 4, C=128)
+    out = sharded_chunk_spmm(plan, A.data, B, mesh, "x")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(A.todense() @ B), rtol=1e-4,
+                               atol=1e-5)

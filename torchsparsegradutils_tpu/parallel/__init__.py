@@ -1,4 +1,6 @@
 from .sharding import RowShardedMatrix, shard_rows, sharded_sparse_mm
+from .chunk_sharded import (ShardedChunkPlan, build_sharded_chunk_plan,
+                            sharded_chunk_spmm)
 from .training import init_params, loss_fn, make_model, make_train_step
 
 __all__ = [
@@ -9,4 +11,7 @@ __all__ = [
     "loss_fn",
     "make_model",
     "make_train_step",
+    "ShardedChunkPlan",
+    "build_sharded_chunk_plan",
+    "sharded_chunk_spmm",
 ]
