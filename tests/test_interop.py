@@ -146,3 +146,20 @@ def test_scipy_multirhs_direct(key):
     ref = jnp.linalg.solve(spd.todense(), B)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_jax_sparse_roundtrip(key):
+    from torchsparsegradutils_tpu.interop.jax_sparse import (
+        from_bcoo, from_bcsr, to_bcoo, to_bcsr)
+    sp = rand_sparse(key, (9, 7), 20)
+    bcoo = to_bcoo(sp)
+    np.testing.assert_allclose(np.asarray(bcoo.todense()),
+                               np.asarray(sp.todense()), atol=1e-6)
+    back = from_bcoo(bcoo)
+    assert back.pattern_static
+    np.testing.assert_allclose(np.asarray(back.todense()),
+                               np.asarray(sp.todense()), atol=1e-6)
+    bcsr = to_bcsr(sp)
+    back2 = from_bcsr(bcsr)
+    np.testing.assert_allclose(np.asarray(back2.todense()),
+                               np.asarray(sp.todense()), atol=1e-6)

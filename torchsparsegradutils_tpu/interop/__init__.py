@@ -1,6 +1,9 @@
+from .jax_sparse import from_bcoo, from_bcsr, have_jax_sparse, to_bcoo, to_bcsr
 from .scipy_solve import have_scipy, scipy_solver, sparse_solve_scipy
 
-__all__ = ["have_scipy", "scipy_solver", "sparse_solve_scipy"]
+__all__ = ["have_scipy", "scipy_solver", "sparse_solve_scipy",
+           "have_jax_sparse", "to_bcoo", "from_bcoo", "to_bcsr",
+           "from_bcsr"]
 
 
 def __getattr__(name):
