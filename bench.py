@@ -71,28 +71,51 @@ def main():
     def loss(data, B):
         return (sparse_mm(A.with_data(data), B) * G).sum()
 
-    bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    # one value_and_grad call executes the forward and backward exactly
+    # once — the apples-to-apples counterpart of the reference's
+    # fwd + loss.backward() (its bwd number excludes the forward)
+    step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
 
     fwd_ms = bench(fwd, (A.data, B))
-    bwd_ms = bench(bwd, (A.data, B))
-    total_ms = fwd_ms + bwd_ms
+    total_ms = bench(step, (A.data, B))
+    bwd_ms = total_ms - fwd_ms
     ref_total = REF_FWD_MS + REF_BWD_MS
 
     # effective bandwidth of the forward (bytes touched ~ nnz*(4+4) + out)
     bytes_fwd = NNZ * (4 + 4 + 4 * M_RHS) + N_ROWS * M_RHS * 4 * 2
     gbps = bytes_fwd / (fwd_ms / 1e3) / 1e9
-    print(f"fwd {fwd_ms:.3f} ms ({gbps:.0f} GB/s eff), bwd {bwd_ms:.3f} ms,"
-          f" total {total_ms:.3f} ms (ref {ref_total:.1f} ms)",
-          file=sys.stderr)
+    print(f"fwd {fwd_ms:.3f} ms ({gbps:.0f} GB/s eff), bwd-only "
+          f"{bwd_ms:.3f} ms, fwd+bwd step {total_ms:.3f} ms "
+          f"(ref fwd+bwd {ref_total:.1f} ms)", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "sparse_mm fwd+bwd wall-clock, cfd2-scale "
-                  "(N=123440, nnz=3.09M, M=128, CSR f32)",
+        "metric": "sparse_mm fwd+bwd (one value_and_grad step), "
+                  "cfd2-scale (N=123440, nnz=3.09M, M=128, CSR f32)",
         "value": round(total_ms, 3),
         "unit": "ms",
         "vs_baseline": round(ref_total / total_ms, 3),
     }))
 
 
+def _fallback(err):
+    print(json.dumps({
+        "metric": "sparse_mm fwd+bwd (one value_and_grad step), "
+                  "cfd2-scale (N=123440, nnz=3.09M, M=128, CSR f32)",
+        "value": float("nan"),
+        "unit": "ms",
+        "vs_baseline": float("nan"),
+        "error": f"{type(err).__name__}: {str(err)[:200]}",
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - one retry, then a NaN record
+        print(f"bench failed ({e}); retrying once after 60s",
+              file=sys.stderr)
+        time.sleep(60)
+        try:
+            main()
+        except Exception as e2:  # noqa: BLE001
+            _fallback(e2)
