@@ -183,3 +183,24 @@ def test_native_variant(key, layout):
     with pytest.warns(UserWarning, match="densifies"):
         lp = dist.log_prob(s[:4])
     assert lp.shape == (4,)
+
+
+def test_rank_dispatch_2d_factor_batched_loc(key, layout):
+    """2-D shared factor with batched loc (reference _batch_sparse_mv rank
+    dispatch, sparse_multivariate_normal.py:16-102)."""
+    L = _factor(key, layout, strict=False)
+    loc = jax.random.normal(jax.random.fold_in(key, 1), (5, N))
+    dist = SparseMultivariateNormal(loc, scale_tril=L)
+    s = dist.rsample(jax.random.fold_in(key, 2), (7,))
+    assert s.shape == (7, 5, N)
+    lp = dist.log_prob(s)
+    assert lp.shape == (7, 5)
+    assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_scalar_sample_shape(key, layout):
+    dist = _params(key, layout, cov=True, ldlt=False)
+    s = dist.rsample(jax.random.fold_in(key, 3))
+    assert s.shape == (N,)
+    s2 = dist.sample(jax.random.fold_in(key, 4), (3,))
+    assert s2.shape == (3, N)
