@@ -190,3 +190,24 @@ def test_pallas_bidir(key, layout):
     fin = np.isfinite(b)
     assert (np.isneginf(a) == np.isneginf(b)).all()
     np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5, atol=1e-6)
+
+
+def test_fast_grad_precision(key, layout):
+    """grad_precision='fast' (bf16 V buffer): gradA stays exact, gradB
+    within bf16 tolerance."""
+    from torchsparsegradutils_tpu.utils import rand_sparse
+    A = rand_sparse(key, (30, 22), 90, layout=layout)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (22, 6))
+
+    def loss(d, B, gp):
+        return (sparse_mm(A.with_data(d), B, backend="pallas",
+                          grad_precision=gp) ** 2).sum()
+
+    gA_f, gB_f = jax.grad(lambda d, B: loss(d, B, "fast"),
+                          argnums=(0, 1))(A.data, B)
+    gA_e, gB_e = jax.grad(lambda d, B: loss(d, B, "exact"),
+                          argnums=(0, 1))(A.data, B)
+    np.testing.assert_allclose(np.asarray(gA_f), np.asarray(gA_e),
+                               rtol=1e-4, atol=1e-5)  # gradA exact
+    np.testing.assert_allclose(np.asarray(gB_f), np.asarray(gB_e),
+                               rtol=3e-2, atol=3e-2)  # gradB bf16-class

@@ -273,7 +273,7 @@ def _perm_pad_cache(plan_t: ChunkPlan):
 
 
 def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
-                         pg=None):
+                         pg=None, fast: bool = False):
     """Fused backward of A @ B: returns (d_data (nnz,), d_B (m, p)).
 
     One kernel pass over the row-sorted entries emits both the SDDMM
@@ -281,7 +281,10 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
     column-sorted order of V yields AᵀG without any per-entry value
     permutation (V rows are gathered, which is fast; scalars are not).
     ``pg`` may supply the forward's :func:`chunk_gather` residual, saving
-    the re-gather of B rows."""
+    the re-gather of B rows.  ``fast=True`` stores the intermediate V
+    matrix in bfloat16 (halves its HBM bytes; gradB gains ~1e-3 relative
+    error, gradA values stay exact) — measured neutral on v5e, where the
+    V gather is transaction-bound."""
     SB, C, W = plan.SB, plan.C, plan.W
     Bp, p = _pad_cols(B)
     Gp, _ = _pad_cols(G)
@@ -319,11 +322,12 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
             v_ref[i * C:(i + 1) * C, :] = (Ge * v[:, None]).astype(
                 v_ref.dtype)
 
+    v_dtype = jnp.bfloat16 if fast else B.dtype
     dd, V = pl.pallas_call(
         kernel, grid=grid, in_specs=[lr_s, v_s, pg_s, gw_s],
         out_specs=(dd_spec, v_spec),
         out_shape=(jax.ShapeDtypeStruct((plan.nchunks, C), data.dtype),
-                   jax.ShapeDtypeStruct((plan.nnz_pad, p_pad), B.dtype)),
+                   jax.ShapeDtypeStruct((plan.nnz_pad, p_pad), v_dtype)),
         interpret=interpret_mode(),
     )(as_device_array(plan.lr), vals, Pg, Gw)
     d_data = dd.reshape(-1)[:plan.nnz]
@@ -332,6 +336,7 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
     # column-sorted order (plan_t), with unit weights.
     perm_pad = _perm_pad_cache(plan_t)
     Vg = jnp.take(V, perm_pad, axis=0)
+    # ones stay f32: a bf16 (SB, C) block violates the 16-sublane tile
     ones = jnp.zeros((plan_t.nnz_pad,), B.dtype).at[:plan_t.nnz].set(1.0)
     SBt, Ct, Wt = plan_t.SB, plan_t.C, plan_t.W
     grid_t, lr_t, v_t, pg_t, _, part_t = _grid_specs(plan_t, p_pad)
@@ -343,7 +348,8 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
             M = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (Wt, Ct), 0)
                 == l[None, :], o[None, :], 0.0)
-            out_ref[i] = jnp.dot(M, vg_ref[i * Ct:(i + 1) * Ct, :],
+            vg = vg_ref[i * Ct:(i + 1) * Ct, :].astype(jnp.float32)
+            out_ref[i] = jnp.dot(M, vg,
                                  preferred_element_type=jnp.float32,
                                  precision=HI).astype(out_ref.dtype)
 

@@ -150,17 +150,17 @@ def _spmm_transpose(backend, A, G):
 # container-level custom VJPs (2-D cores)
 # --------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _spmm_cv(backend, A, B):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_cv(backend, grad_precision, A, B):
     return _spmm_forward(backend, A, B)
 
 
-def _spmm_cv_fwd(backend, A, B):
+def _spmm_cv_fwd(backend, grad_precision, A, B):
     # pallas path: re-derive the forward's gathered B rows as a residual so
     # the fused backward skips one full random re-gather of B.  The primal
     # must come from the custom rule itself (higher-order linearization);
     # XLA CSE merges this take with the identical one inside the forward.
-    out = _spmm_cv(backend, A, B)
+    out = _spmm_cv(backend, grad_precision, A, B)
     pg = None
     if _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
@@ -170,17 +170,17 @@ def _spmm_cv_fwd(backend, A, B):
     return out, (A, B, pg)
 
 
-def _spmm_cv_bwd(backend, res, g):
+def _spmm_cv_bwd(backend, grad_precision, res, g):
     A, B, pg = res
-    d_data, d_B = _spmm_bwd_pair(backend, A, B, g, pg)
+    d_data, d_B = _spmm_bwd_pair(backend, grad_precision, A, B, g, pg)
     return sparse_cotangent(A, d_data), d_B
 
 
 _spmm_cv.defvjp(_spmm_cv_fwd, _spmm_cv_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _spmm_bwd_pair(backend, A, B, g, pg):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_bwd_pair(backend, grad_precision, A, B, g, pg):
     """(d_data, d_B) of ``A @ B`` given output cotangent g.
 
     First-order: one fused Pallas pass (SDDMM values + V rows) plus a
@@ -195,17 +195,20 @@ def _spmm_bwd_pair(backend, A, B, g, pg):
         plan = _chunk_plan(A, backend)
         plan_t = _chunk_plan(A, backend, transpose=True)
         if plan is not None and plan_t is not None:
-            return chunk_spmm_bwd_fused(plan, plan_t, A.data, B, g, pg=pg)
+            out = chunk_spmm_bwd_fused(plan, plan_t, A.data, B, g, pg=pg,
+                                       fast=(grad_precision == "fast"))
+            return out
     d_data = _sddmm_values(backend, A, g, B)
     d_B = _spmm_transpose(backend, A, g)
     return d_data, d_B
 
 
-def _spmm_bwd_pair_fwd(backend, A, B, g, pg):
-    return _spmm_bwd_pair(backend, A, B, g, pg), (A, B, g, pg)
+def _spmm_bwd_pair_fwd(backend, grad_precision, A, B, g, pg):
+    return _spmm_bwd_pair(backend, grad_precision, A, B, g, pg), \
+        (A, B, g, pg)
 
 
-def _spmm_bwd_pair_bwd(backend, res, cts):
+def _spmm_bwd_pair_bwd(backend, grad_precision, res, cts):
     A, B, g, pg = res
     ct_dd, ct_dB = cts
     ct_sp = A.with_data(ct_dd)
@@ -288,7 +291,8 @@ def _elem(A, i):
     return obj
 
 
-def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto"):
+def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto",
+              grad_precision: str = "exact"):
     """Multiply a sparse matrix by a dense matrix: ``A @ B``.
 
     Args:
@@ -297,6 +301,12 @@ def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto"):
       B: dense ``(m, p)`` or ``(b, m, p)`` array; batch dims must match A's
         (one side may be unbatched and is broadcast).
       backend: "auto" | "ell" | "xla" | "pallas".
+      grad_precision: "exact" (default) or "fast" — the fast mode stores
+        the backward's intermediate product matrix in bfloat16 (gradA
+        values stay exact; gradB gains ~1e-3 relative error).
+        Experimental: on v5e the random V-row gather is transaction-bound,
+        so no speedup was measured there; parts with byte-bound gathers
+        may benefit.
 
     Returns:
       Dense ``(n, p)`` / ``(b, n, p)`` array.
@@ -315,18 +325,21 @@ def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto"):
         raise ValueError(f"sparse_mm: batch dims disagree, {A.shape[0]} vs "
                          f"{B.shape[0]}")
 
+    gp = grad_precision
     if A.ndim == 2 and B.ndim == 2:
-        return _spmm_cv(backend, A, B)
+        return _spmm_cv(backend, gp, A, B)
     if A.ndim == 2:  # B batched
-        return jax.vmap(lambda b: _spmm_cv(backend, A, b))(B)
+        return jax.vmap(lambda b: _spmm_cv(backend, gp, A, b))(B)
     # A batched
     A0 = _elem(A, 0)
     if not A.indices_batched():  # shared pattern: vmap over data
         if B.ndim == 2:
-            return jax.vmap(lambda d: _spmm_cv(backend, A0.with_data(d), B)
-                            )(A.data)
-        return jax.vmap(lambda d, b: _spmm_cv(backend, A0.with_data(d), b)
-                        )(A.data, B)
+            return jax.vmap(
+                lambda d: _spmm_cv(backend, gp, A0.with_data(d), B)
+            )(A.data)
+        return jax.vmap(
+            lambda d, b: _spmm_cv(backend, gp, A0.with_data(d), b)
+        )(A.data, B)
     # per-element patterns: traced-index fallback under one vmap
     row = jnp.asarray(A.rows())
     col = jnp.asarray(A.cols())
