@@ -154,12 +154,12 @@ def test_minres_indefinite(key):
 def test_minres_multirhs_and_shifts(key):
     A = _spd(key)
     B = jax.random.normal(jax.random.fold_in(key, 1), (24, 3))
-    shifts = jnp.array([0.0, -0.5, -1.0])
+    shifts = jnp.array([0.0, 0.5, 1.0])
     x = minres(A, B, shifts=shifts,
                settings=MINRESSettings(max_iter=500, rtol=1e-7))
     assert x.shape == (3, 24, 3)
     for i, sg in enumerate(np.asarray(shifts)):
-        ref = jnp.linalg.solve(A.todense() - sg * jnp.eye(24), B)
+        ref = jnp.linalg.solve(A.todense() + sg * jnp.eye(24), B)
         np.testing.assert_allclose(np.asarray(x[i]), np.asarray(ref),
                                    rtol=1e-2, atol=1e-2)
 
@@ -211,3 +211,54 @@ def test_lsmr_zero_rhs(key):
     x, itn = lsmr(A, jnp.zeros((12,)))
     np.testing.assert_allclose(np.asarray(x), 0.0)
     assert int(itn) == 0
+
+
+def test_cg_x0_warm_start(key):
+    A = _spd(key)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    ref = jnp.linalg.solve(A.todense(), b)
+    # warm start from near the solution converges fine
+    x = linear_cg(A, b, x0=ref + 0.01,
+                  settings=LinearCGSettings(max_iter=100, rtol=1e-7))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_bicgstab_preconditioner(key):
+    A = rand_sparse(key, (20, 20), 20 * 3, well_conditioned=True)
+    d = jnp.diag(A.todense())
+    b = jax.random.normal(jax.random.fold_in(key, 1), (20,))
+    x = bicgstab(A, b, preconditioner=lambda v: v / d[:, None]
+                 if v.ndim == 2 else v / d,
+                 settings=BICGSTABSettings(max_iter=400, rtol=1e-8))
+    ref = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-3)
+
+
+def test_lsmr_callable_with_rmatvec(key):
+    A = rand_sparse(key, (30, 10), 80)
+    Ad = A.todense()
+    b = jax.random.normal(jax.random.fold_in(key, 1), (30,))
+    x, _ = lsmr(lambda v: Ad @ v, b, rmatvec=lambda v: Ad.T @ v,
+                settings=LSMRSettings(max_iter=400, atol=1e-10,
+                                      btol=1e-10))
+    ref, *_ = jnp.linalg.lstsq(Ad, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-2,
+                               atol=1e-3)
+
+
+def test_lsmr_callable_requires_rmatvec(key):
+    Ad = jnp.eye(4)
+    with pytest.raises(ValueError, match="transpose closure"):
+        lsmr(lambda v: Ad @ v, jnp.ones(4))
+
+
+def test_minres_scalar_shift_matches_reference_convention(key):
+    A = _spd(key)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    x = minres(A, b, shifts=jnp.array([0.7]),
+               settings=MINRESSettings(max_iter=500, rtol=1e-7))
+    ref = jnp.linalg.solve(A.todense() + 0.7 * jnp.eye(24), b)
+    np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)

@@ -3,11 +3,12 @@
 Rebuild of the reference's ``minres``
 (``/root/reference/torchsparsegradutils/utils/minres.py:28-325``):
 symmetric (possibly indefinite) systems, batched multi-RHS, and multiple
-shifted systems ``(A - σI) x = b`` solved jointly off one shared Lanczos
-recurrence (:155-156, 183-184, 321-323).  The Lanczos vectors of ``A`` are
-shift-independent (Lanczos of ``A - σI`` shares V with tridiagonal
-``T - σI``), so only the Givens-QR state is per (shift, column); one SpMV
-per iteration serves every shift and RHS column.
+shifted systems ``(A + σI) x = b`` solved jointly off one shared Lanczos
+recurrence (:155-156, 183-184, 321-323 — same ``A + σI`` sign convention
+as the reference).  The Lanczos vectors of ``A`` are shift-independent
+(Lanczos of ``A + σI`` shares V with tridiagonal ``T + σI``), so only the
+Givens-QR state is per (shift, column); one SpMV per iteration serves
+every shift and RHS column.
 
 The recurrence follows the standard Paige–Saunders formulation
 (cs/sn/dbar/epsln/phibar), vectorised over a ``(shifts, columns)`` grid.
@@ -40,8 +41,9 @@ def minres(A, rhs, *, shifts=None,
     Args:
       A: sparse container / dense matrix / matvec closure (symmetric).
       rhs: ``(n,)`` or ``(n, k)``.
-      shifts: optional ``(s,)`` σ values; solves ``(A - σI) x = b`` jointly,
-        returning a leading shift axis.
+      shifts: optional ``(s,)`` σ values; solves ``(A + σI) x = b`` jointly
+        (the reference's sign convention, minres.py:43), returning a
+        leading shift axis.
 
     Returns:
       ``x`` shaped like ``rhs`` (with a leading ``(s,)`` axis if shifts
@@ -105,7 +107,7 @@ def minres(A, rhs, *, shifts=None,
         v_new = r / jnp.where(beta_new > eps, beta_new, 1.0)
 
         # --- per-shift Paige–Saunders rotations
-        alfa_s = alfa[None, :] - sig[:, None]               # (s, k)
+        alfa_s = alfa[None, :] + sig[:, None]               # (s, k)
         beta_nb = jnp.broadcast_to(beta_new, (s, k))
         oldeps = epsln
         delta = cs * dbar + sn * alfa_s
