@@ -74,3 +74,41 @@ def test_quickstart_batched_and_layouts():
     ref = jnp.linalg.solve(jnp.triu(T.todense()), b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_gmrf_example_converges():
+    """Condensed version of examples/fit_sparse_gmrf.py."""
+    import optax
+    from torchsparsegradutils_tpu.models import (PairwiseEncoder,
+                                                 SparseMultivariateNormal)
+
+    key = jax.random.PRNGKey(0)
+    enc = PairwiseEncoder(1.0, (1, 6, 6), upper=False)
+    n = enc.volume_numel
+
+    def dist_from(p):
+        return SparseMultivariateNormal(p["loc"], jnp.exp(p["log_diag"]),
+                                        precision_tril=enc(p["values"]))
+
+    truth = {"values": 0.3 * jax.random.normal(
+        key, (len(enc.offsets),) + enc.volume_shape),
+        "log_diag": jnp.zeros((n,)), "loc": jnp.zeros((n,))}
+    data = dist_from(truth).rsample(jax.random.fold_in(key, 1), (512,))
+    params = jax.tree.map(jnp.zeros_like, truth)
+    opt = optax.adam(5e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(
+            lambda p: -dist_from(p).log_prob(data).mean())(params)
+        up, state = opt.update(g, state)
+        return optax.apply_updates(params, up), state, loss
+
+    losses = []
+    for _ in range(60):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 1.0
+    truth_nll = float(-dist_from(truth).log_prob(data).mean())
+    assert losses[-1] < truth_nll + 0.2 * abs(truth_nll) + 5.0

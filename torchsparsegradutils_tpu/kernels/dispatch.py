@@ -1,15 +1,8 @@
-"""Backend dispatch for Pallas TPU kernels.
-
-Each hook returns ``None`` to fall back to the XLA (gather + segment-sum)
-path — e.g. off-TPU, for shapes the kernel doesn't cover, or while the
-kernel is disabled.  Real kernels live in sibling modules and register here.
-"""
+"""Backend dispatch helpers for the Pallas TPU kernels."""
 
 from __future__ import annotations
 
 import jax
-
-_FORCE = None  # set by tests/benchmarks: None | "xla" | "pallas"
 
 
 def on_tpu() -> bool:
@@ -17,9 +10,3 @@ def on_tpu() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
-
-
-def spmm_pallas(A, B):
-    """Pallas SpMM hook for a 2-D static-pattern container; None -> XLA
-    fallback."""
-    return None
