@@ -1,0 +1,208 @@
+"""DIA (diagonal-structured) execution plan: detection, relayout kernels,
+and op-level equivalence against the generic XLA path.
+
+Archetypes follow the reference's test strategy (SURVEY §4): dense
+equivalence, grad parity at the nnz mask, layout/dtype coverage, and
+plan-gating behaviour.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchsparsegradutils_tpu import sddmm, sparse_mm
+from torchsparsegradutils_tpu.kernels.dia import build_dia_plan
+from torchsparsegradutils_tpu.kernels.window_gather import (
+    build_window_plan,
+    window_gather,
+    window_gather_xla,
+)
+from torchsparsegradutils_tpu.ops.spmm import _dia_plan
+from torchsparsegradutils_tpu.utils import rand_sparse
+from torchsparsegradutils_tpu.utils.random_sparse import (
+    make_spd_stencil,
+    stencil_sparse,
+)
+
+KEY = jax.random.PRNGKey(42)
+
+
+# --------------------------------------------------------------------------
+# window_gather relayout kernel
+# --------------------------------------------------------------------------
+
+class TestWindowGather:
+    def test_fill_roundtrip_random_holes(self):
+        rng = np.random.default_rng(0)
+        n, K = 3000, 9
+        fill = rng.random((n, K)) < 0.7
+        src_of_dst = np.full(n * K, -1, np.int64)
+        src_of_dst[fill.reshape(-1)] = np.arange(fill.sum())
+        src = jnp.asarray(rng.normal(size=int(fill.sum())).astype(np.float32))
+        plan = build_window_plan(src_of_dst, n * K, int(fill.sum()))
+        assert plan is not None
+        out = window_gather(plan, src)
+        ref = window_gather_xla(src_of_dst, src, n * K)
+        assert jnp.array_equal(out, ref)
+
+    def test_inverse_direction(self):
+        rng = np.random.default_rng(1)
+        n, K = 2000, 5
+        fill = rng.random((n, K)) < 0.5
+        pos = np.where(fill.reshape(-1))[0].astype(np.int64)
+        plan = build_window_plan(pos, len(pos), n * K)
+        grid = jnp.asarray(rng.normal(size=n * K).astype(np.float32))
+        out = window_gather(plan, grid)
+        assert jnp.array_equal(out, jnp.take(grid, jnp.asarray(pos)))
+
+    def test_jit_and_grad_through_gather(self):
+        src_of_dst = np.arange(4096, dtype=np.int64)
+        src_of_dst[::3] = -1
+        plan = build_window_plan(src_of_dst, 4096, 4096)
+        x = jax.random.normal(KEY, (4096,), jnp.float32)
+        f = jax.jit(lambda s: window_gather(plan, s))
+        assert jnp.array_equal(f(x), window_gather_xla(src_of_dst, x, 4096))
+
+    def test_skew_rejected(self):
+        # one destination tile reading a window wider than the cap
+        src_of_dst = np.array([0, 10 ** 6], np.int64)
+        src_of_dst = np.concatenate(
+            [src_of_dst, np.full(2046, -1, np.int64)])
+        assert build_window_plan(src_of_dst, 2048, 10 ** 6 + 1) is None
+
+
+# --------------------------------------------------------------------------
+# plan detection
+# --------------------------------------------------------------------------
+
+class TestDiaDetection:
+    def test_stencil_detected(self):
+        A = stencil_sparse(KEY, (300, 300), [-9, -1, 0, 1, 9])
+        assert _dia_plan(A, "auto") is not None
+
+    def test_random_rejected(self):
+        A = rand_sparse(KEY, (300, 300), 2000, layout="csr")
+        assert _dia_plan(A, "auto") is None
+
+    def test_backend_gating(self):
+        A = stencil_sparse(KEY, (100, 100), [0, 1])
+        assert _dia_plan(A, "xla") is None
+        assert _dia_plan(A, "pallas") is None
+        assert _dia_plan(A, "dia") is not None
+
+    def test_low_fill_rejected(self):
+        # two far-apart full diagonals plus scattered singletons on many
+        # offsets -> K*n >> nnz
+        n = 400
+        rows = np.concatenate([np.arange(n), np.arange(17)])
+        cols = np.concatenate([np.arange(n), np.arange(17) * 11 % n])
+        order = np.lexsort((cols, rows))
+        from torchsparsegradutils_tpu.types import SparseCOO
+        A = SparseCOO(rows[order].astype(np.int32),
+                      cols[order].astype(np.int32),
+                      jnp.ones(len(rows), jnp.float32), (n, n))
+        plan = build_dia_plan(A.row_sa(), A.col_sa(), n, n)
+        assert plan is None or plan.K * n <= 4.0 * A.nnz
+
+
+# --------------------------------------------------------------------------
+# op equivalence: forward / gradients / sddmm
+# --------------------------------------------------------------------------
+
+def _mk(offsets, shape=(257, 257), layout="csr", nnz=None, key=KEY):
+    return stencil_sparse(key, shape, offsets, layout=layout, nnz=nnz)
+
+
+class TestDiaOps:
+    @pytest.mark.parametrize("layout", ["coo", "csr"])
+    @pytest.mark.parametrize("p", [1, 3, 16])
+    def test_forward_matches_dense(self, layout, p):
+        A = _mk([-12, -1, 0, 1, 5, 12], layout=layout)
+        B = jax.random.normal(jax.random.fold_in(KEY, p), (257, p))
+        out = sparse_mm(A, B, backend="dia")
+        dense = jnp.zeros((257, 257)).at[
+            jnp.asarray(A.rows()), jnp.asarray(A.cols())].set(A.data)
+        np.testing.assert_allclose(out, dense @ B, rtol=1e-5, atol=1e-5)
+
+    def test_forward_rectangular(self):
+        A = _mk([-3, 0, 2, 40], shape=(120, 200))
+        B = jax.random.normal(KEY, (200, 7))
+        dense = jnp.zeros((120, 200)).at[
+            jnp.asarray(A.rows()), jnp.asarray(A.cols())].set(A.data)
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   dense @ B, rtol=1e-5, atol=1e-5)
+
+    def test_partial_diagonals(self):
+        # thinned stencil: diagonals with holes
+        A = _mk([-7, -1, 0, 1, 7], nnz=900)
+        B = jax.random.normal(KEY, (257, 9))
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   sparse_mm(A, B, backend="xla"),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_xla(self):
+        A = _mk([-31, -4, 0, 4, 31])
+        B = jax.random.normal(KEY, (257, 11))
+        G = jax.random.normal(jax.random.fold_in(KEY, 1), (257, 11))
+
+        def loss(data, B, backend):
+            return (sparse_mm(A.with_data(data), B, backend=backend)
+                    * G).sum()
+
+        gd = jax.grad(loss, argnums=(0, 1))(A.data, B, "dia")
+        gx = jax.grad(loss, argnums=(0, 1))(A.data, B, "xla")
+        np.testing.assert_allclose(gd[0], gx[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gd[1], gx[1], rtol=1e-5, atol=1e-5)
+
+    def test_sddmm_matches(self):
+        A = _mk([-2, 0, 2, 9])
+        X = jax.random.normal(KEY, (257, 8))
+        Y = jax.random.normal(jax.random.fold_in(KEY, 1), (257, 8))
+        sd = sddmm(A, X, Y, backend="dia")
+        sx = sddmm(A, X, Y, backend="xla")
+        np.testing.assert_allclose(sd.data, sx.data, rtol=1e-5, atol=1e-5)
+
+    def test_second_order(self):
+        A = _mk([-1, 0, 1], shape=(64, 64))
+        B = jax.random.normal(KEY, (64, 4))
+
+        def f(data):
+            return (sparse_mm(A.with_data(data), B, backend="dia") ** 2
+                    ).sum()
+
+        h = jax.grad(lambda d: jax.grad(f)(d).sum())(A.data)
+        hx = jax.grad(lambda d: jax.grad(
+            lambda dd: (sparse_mm(A.with_data(dd), B, backend="xla") ** 2
+                        ).sum())(d).sum())(A.data)
+        np.testing.assert_allclose(h, hx, rtol=1e-4, atol=1e-5)
+
+    def test_f64(self, enable_x64):
+        A64 = stencil_sparse(KEY, (100, 100), [-5, 0, 5],
+                             value_dtype=jnp.float64)
+        B = jax.random.normal(KEY, (100, 3), jnp.float64)
+        dense = jnp.zeros((100, 100), jnp.float64).at[
+            jnp.asarray(A64.rows()), jnp.asarray(A64.cols())].set(
+            A64.data)
+        np.testing.assert_allclose(sparse_mm(A64, B, backend="dia"),
+                                   dense @ B, rtol=1e-12)
+
+    def test_batched_shared_pattern(self):
+        A2 = _mk([-1, 0, 1], shape=(60, 60))
+        data = jnp.stack([A2.data, A2.data * 2.0])
+        from torchsparsegradutils_tpu.types import SparseCSR
+        Ab = SparseCSR(A2.indptr_np(), A2.cols_np(), data, (2, 60, 60))
+        B = jax.random.normal(KEY, (2, 60, 5))
+        out = sparse_mm(Ab, B)
+        ref0 = sparse_mm(A2, B[0], backend="xla")
+        ref1 = sparse_mm(A2.with_data(A2.data * 2.0), B[1], backend="xla")
+        np.testing.assert_allclose(out[0], ref0, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(out[1], ref1, rtol=1e-5, atol=1e-5)
+
+    def test_spd_stencil_properties(self):
+        S = make_spd_stencil(KEY, 150, [1, 12, 30])
+        dense = np.zeros((150, 150))
+        dense[np.asarray(S.rows()), np.asarray(S.cols())] = np.asarray(
+            S.data)
+        assert np.allclose(dense, dense.T)
+        assert np.linalg.eigvalsh(dense).min() > 0

@@ -1,0 +1,398 @@
+"""Diagonal-structured (DIA) execution plans for SpMM / SDDMM on TPU.
+
+TPU-first rationale: the matrices this library actually produces and
+consumes — ``PairwiseEncoder`` outputs (per-offset voxel relations,
+reference pairwise_encoder.py:198-321), stencil/FEM operators like the
+reference's cfd2 benchmark matrix, banded triangular factors — are
+unions of a small number of (partially filled) diagonals.  On GPU the
+reference runs them through generic COO/CSR gather kernels
+(sparse_matmul.py:155); on TPU random per-row gathers are
+transaction-bound (~66 GB/s measured on v5e), but a *per-diagonal*
+formulation needs no gathers at all:
+
+    out[r, :]      = Σ_k  v[r, k] · B[r + off_k, :]        (SpMM)
+    d_v[r, k]      = Σ_p  X[r, p] · Y[r + off_k, p]        (SDDMM)
+    (Aᵀ G)[c, :]   = Σ_k  v[c - off_k, k] · G[c - off_k, :] (transpose)
+
+— every operand access is a statically shifted dense slice that streams
+at HBM speed.  Values move between the container's canonical CSR order
+and an ``(n, K)`` diagonal grid through the window-gather relayout
+kernel (``window_gather.py``, ~1 ms at 3M nnz vs ~25 ms for an XLA
+scatter).
+
+Execution: a Pallas kernel processes row tiles with a manually DMA'd
+*halo* window of the shifted operand resident in VMEM (the window spans
+``row_tile + (off_max - off_min)`` rows), so the whole op is a single
+streaming pass.  Narrow RHS (SpMV) and f64 take an XLA shifted-slice
+fallback — vectors are small enough that fusion does not matter.
+
+A plan is built host-side from the static pattern (content-hashed index
+arrays) and cached; patterns with too many distinct offsets or too low a
+grid fill are rejected so generic paths handle them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import StaticArray, as_device_array
+from .window_gather import (
+    WindowPlan,
+    build_window_plan,
+    window_gather,
+    window_gather_xla,
+)
+
+MAX_DIAGS = 256          # offsets above this: not DIA-structured
+DIA_MAX_EXPAND = 4.0     # grid cells (K*n) must be <= this x nnz
+LANE = 128
+VMEM_BUDGET = 10 * 1024 * 1024
+MIN_P_PALLAS = 8         # below this RHS width the XLA vector path wins
+
+
+@dataclass(frozen=True)
+class DiaPlan:
+    n: int
+    m: int
+    nnz: int
+    offsets: np.ndarray             # (K,) int64, sorted
+    K: int
+    pos: np.ndarray                 # (nnz,) int64 grid slot per entry
+    fill_plan: Optional[WindowPlan]    # values -> (n*K,) row-major grid
+    unfill_plan: Optional[WindowPlan]  # (n*K,) grid -> values
+    src_of_grid: np.ndarray         # (n*K,) int64 entry idx or -1 (XLA path)
+
+    @property
+    def span(self) -> int:
+        return int(self.offsets[-1] - self.offsets[0])
+
+
+@lru_cache(maxsize=64)
+def build_dia_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
+                   m: int) -> Optional[DiaPlan]:
+    """Detect a diagonal-structured pattern and build its plan.
+
+    Requires entries in canonical row-major (CSR) order.  Returns None
+    for patterns that are not profitably DIA (too many offsets, too
+    sparse a grid).
+    """
+    rows = rows_sa.arr.astype(np.int64)
+    cols = cols_sa.arr.astype(np.int64)
+    nnz = len(rows)
+    if rows.ndim != 1 or nnz == 0:
+        return None
+    offs = cols - rows
+    uniq = np.unique(offs)
+    K = len(uniq)
+    if K > MAX_DIAGS or K * n > DIA_MAX_EXPAND * max(nnz, 1):
+        return None
+    # canonical order check (row-major sorted): rows non-decreasing and
+    # cols strictly increasing within a row
+    if nnz > 1:
+        d = np.diff(rows)
+        if (d < 0).any():
+            return None
+        if ((d == 0) & (np.diff(cols) <= 0)).any():
+            return None
+    diag_idx = np.searchsorted(uniq, offs)
+    pos = rows * K + diag_idx            # strictly increasing in CSR order
+    src_of_grid = np.full(n * K, -1, np.int64)
+    src_of_grid[pos] = np.arange(nnz)
+    fill_plan = build_window_plan(src_of_grid, n * K, nnz)
+    unfill_plan = build_window_plan(pos, nnz, n * K)
+    return DiaPlan(n=n, m=m, nnz=nnz, offsets=uniq, K=K, pos=pos,
+                   fill_plan=fill_plan, unfill_plan=unfill_plan,
+                   src_of_grid=src_of_grid)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _use_pallas_grid(dtype) -> bool:
+    return dtype in (jnp.float32, jnp.bfloat16)
+
+
+def values_to_grid(plan: DiaPlan, data: jax.Array) -> jax.Array:
+    """(nnz,) canonical values -> (n, K) diagonal grid (zeros at holes)."""
+    if plan.fill_plan is not None and _use_pallas_grid(data.dtype):
+        flat = window_gather(plan.fill_plan, data)
+    else:
+        flat = window_gather_xla(plan.src_of_grid, data, plan.n * plan.K)
+    return flat.reshape(plan.n, plan.K)
+
+
+def grid_to_values(plan: DiaPlan, grid: jax.Array) -> jax.Array:
+    """(n, K) diagonal grid -> (nnz,) canonical values."""
+    flat = grid.reshape(-1)
+    if plan.unfill_plan is not None and _use_pallas_grid(grid.dtype):
+        return window_gather(plan.unfill_plan, flat)
+    return jnp.take(flat, jnp.asarray(plan.pos))
+
+
+# --------------------------------------------------------------------------
+# shared tiling / padding helpers
+# --------------------------------------------------------------------------
+
+def _tiling(offsets: np.ndarray, K: int, out_rows: int, p_pad: int,
+            n_halos: int):
+    """(R_T, ntiles, s_al, s_rel, src_pad_lo, span_pad) or None.
+
+    ``s_rel[k]``: in-window row offset of diagonal k relative to the
+    (8-aligned) window start; window for output tile i covers source rows
+    ``[i*R_T + s_al, i*R_T + s_al + R_T + span_pad)`` of the padded
+    source, whose row 0 is source row ``-src_pad_lo``.
+    """
+    base = int(offsets[0])            # most-negative shift
+    src_pad_lo = max(0, -base)
+    s0 = base + src_pad_lo            # >= 0; 0 when base <= 0
+    s_al = (s0 // 8) * 8
+    s_rel = (offsets - offsets[0] + (s0 - s_al)).astype(np.int64)
+    span_pad = -(-(int(s_rel[-1]) + 8) // 8) * 8
+    for R_T in (2048, 1024, 512, 256, 128):
+        halo_bytes = (R_T + span_pad) * p_pad * 4 * n_halos
+        io_bytes = R_T * p_pad * 4 * 3 + R_T * K * 4 * 3
+        if halo_bytes + io_bytes <= VMEM_BUDGET:
+            ntiles = -(-out_rows // R_T)
+            return R_T, ntiles, s_al, s_rel, src_pad_lo, span_pad
+    return None
+
+
+def _pad_rows(X, lo: int, hi: int):
+    if lo or hi:
+        return jnp.pad(X, ((lo, hi), (0, 0)))
+    return X
+
+
+def _pad_lanes(X):
+    p = X.shape[1]
+    p_pad = -(-p // LANE) * LANE
+    if p_pad != p:
+        X = jnp.pad(X, ((0, 0), (0, p_pad - p)))
+    return X, p
+
+
+# --------------------------------------------------------------------------
+# Pallas halo kernels
+# --------------------------------------------------------------------------
+
+def _spmm_core_pallas(offsets: np.ndarray, n: int, m: int, grid_v, B):
+    """out (n, p) = Σ_k grid_v[:, k] * B[r + off_k] via a halo-window
+    streaming kernel; grid_v is (n, K) with zeros at holes."""
+    K = len(offsets)
+    Bp, p = _pad_lanes(B)
+    p_pad = Bp.shape[1]
+    t = _tiling(offsets, K, n, LANE, n_halos=1)
+    if t is None:
+        return None
+    R_T, ntiles, s_al, s_rel, lo, span_pad = t
+    n_pad = ntiles * R_T
+    # padded source must cover [s_al, (ntiles-1)*R_T + s_al + R_T+span_pad)
+    need = (ntiles - 1) * R_T + s_al + R_T + span_pad
+    Bp = _pad_rows(Bp, lo, max(0, need - (m + lo)))
+    gv = grid_v if n_pad == n else jnp.pad(grid_v, ((0, n_pad - n), (0, 0)))
+    jt = p_pad // LANE
+    W = R_T + span_pad
+
+    def kernel(s_ref, v_ref, b_hbm, out_ref, halo, acc, sem):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(i * R_T + s_al, W), pl.ds(j * LANE, LANE)],
+            halo, sem)
+        dma.start()
+        acc[...] = jnp.zeros((R_T, LANE), jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        dma.wait()
+
+        # fori_loop with *dynamic* slices: one live slice buffer, where an
+        # unrolled SSA chain would stack K shifted copies (VMEM OOM at
+        # K ~ 25).  The v column is read with a constant-index lane gather
+        # (dynamic lane *slicing* must be 128-aligned; gathers need not).
+        def body(k, _):
+            vcol = jnp.take_along_axis(
+                v, jnp.full((R_T, K), k, jnp.int32), axis=1)[:, :1]
+            acc[...] = acc[...] + vcol * halo[
+                pl.ds(s_ref[k], R_T), :].astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+        out_ref[...] = acc[...].astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles, jt),
+        in_specs=[pl.BlockSpec((R_T, K), lambda i, j, s: (i, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((R_T, LANE), lambda i, j, s: (i, j)),
+        scratch_shapes=[pltpu.VMEM((W, LANE), B.dtype),
+                        pltpu.VMEM((R_T, LANE), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, p_pad), B.dtype),
+        interpret=_interpret(),
+    )(as_device_array(s_rel.astype(np.int32)), gv, Bp)
+    return out[:n, :p]
+
+
+def _dia_sddmm_pallas(plan: DiaPlan, X, Y):
+    """d_grid (n, K) with d_grid[r, k] = dot(X[r], Y[r + off_k])."""
+    n, K = plan.n, plan.K
+    Xp, p = _pad_lanes(X)
+    Yp, _ = _pad_lanes(Y)
+    p_pad = Xp.shape[1]
+    t = _tiling(plan.offsets, K, n, p_pad, n_halos=1)
+    if t is None:
+        return None
+    R_T, ntiles, s_al, s_rel, lo, span_pad = t
+    n_pad = ntiles * R_T
+    need = (ntiles - 1) * R_T + s_al + R_T + span_pad
+    Yp = _pad_rows(Yp, lo, max(0, need - (plan.m + lo)))
+    Xp = Xp if n_pad == n else _pad_rows(Xp, 0, n_pad - n)
+    W = R_T + span_pad
+
+    def kernel(s_ref, x_ref, y_hbm, out_ref, halo, acc, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            y_hbm.at[pl.ds(i * R_T + s_al, W), :], halo, sem)
+        dma.start()
+        acc[...] = jnp.zeros((R_T, K), jnp.float32)
+        x = x_ref[...].astype(jnp.float32)
+        dma.wait()
+
+        # see _spmm_core_pallas: fori_loop + dynamic slice keeps one live
+        # slice buffer; the column write goes through a one-hot select
+        # (dynamic lane writes must be 128-aligned)
+        def body(k, _):
+            r = (x * halo[pl.ds(s_ref[k], R_T), :].astype(jnp.float32)
+                 ).sum(axis=1, keepdims=True)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) == k)
+            acc[...] = acc[...] + r * onehot.astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+        out_ref[...] = acc[...].astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec((R_T, p_pad), lambda i, s: (i, 0)),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((R_T, K), lambda i, s: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((W, p_pad), Y.dtype),
+                        pltpu.VMEM((R_T, K), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, K), X.dtype),
+        interpret=_interpret(),
+    )(as_device_array(s_rel.astype(np.int32)), Xp, Yp)
+    return out[:n]
+
+
+def _transpose_grid(plan: DiaPlan):
+    """(offsets_T, shift_fn): Aᵀ is DIA over (m, n) with offsets -off
+    (sorted ascending) and value grid ``gT[c, kT] = g[c - off_k, k]`` —
+    K cheap static column shifts, after which AᵀG is just the forward
+    SpMM kernel over operand G."""
+    order = np.argsort(-plan.offsets)        # kT -> original k
+    offsets_T = (-plan.offsets)[order]
+    m, n = plan.m, plan.n
+
+    def shift(grid_v):
+        cols = []
+        for kT, k in enumerate(order):
+            off = int(plan.offsets[k])       # gT[c] = g[c - off]
+            lo, hi = max(0, off), max(0, m - off - n)
+            col = grid_v[:, k]
+            col = jnp.pad(col, (lo, hi))
+            s = lo - off                     # = max(0,off) - off >= 0
+            cols.append(jax.lax.slice_in_dim(col, s, s + m, axis=0))
+        return jnp.stack(cols, axis=1)       # (m, K)
+
+    return offsets_T, shift
+
+
+def _pallas_ok(plan: DiaPlan, p: int, dtype) -> bool:
+    return (p >= MIN_P_PALLAS and dtype in (jnp.float32, jnp.bfloat16)
+            and plan.fill_plan is not None)
+
+
+# --------------------------------------------------------------------------
+# XLA shifted-slice fallbacks (narrow RHS / f64 / degenerate plans)
+# --------------------------------------------------------------------------
+
+def _shift_rows(X: jax.Array, offsets: np.ndarray, n: int):
+    """Yield (k, view) where view[r] = Xpad[r + off_k] for r in [0, n)."""
+    lo = max(0, -int(offsets.min()))
+    hi = max(0, int(offsets.max()) + n - X.shape[0])
+    Xpad = _pad_rows(X, lo, hi)
+    for k, off in enumerate(offsets):
+        s = int(off) + lo
+        yield k, jax.lax.slice_in_dim(Xpad, s, s + n, axis=0)
+
+
+def _spmm_core_xla(offsets: np.ndarray, n: int, grid_v, B):
+    out = jnp.zeros((n, B.shape[1]), B.dtype)
+    for k, Bs in _shift_rows(B, offsets, n):
+        out = out + grid_v[:, k][:, None] * Bs
+    return out
+
+
+def _dia_sddmm_grid_xla(plan: DiaPlan, X, Y):
+    cols = []
+    for k, Ys in _shift_rows(Y, plan.offsets, plan.n):
+        cols.append((X * Ys).sum(axis=1))
+    return jnp.stack(cols, axis=1)            # (n, K)
+
+
+# --------------------------------------------------------------------------
+# public entry points (dispatch Pallas / XLA)
+# --------------------------------------------------------------------------
+
+def _spmm_core(offsets, n, m, grid_v, B):
+    if (B.shape[1] >= MIN_P_PALLAS
+            and B.dtype in (jnp.float32, jnp.bfloat16)):
+        out = _spmm_core_pallas(offsets, n, m, grid_v, B)
+        if out is not None:
+            return out
+    return _spmm_core_xla(offsets, n, grid_v, B)
+
+
+def dia_spmm(plan: DiaPlan, data: jax.Array, B: jax.Array) -> jax.Array:
+    """A @ B, A in DIA form: K statically shifted fused multiply-adds."""
+    grid_v = values_to_grid(plan, data)
+    return _spmm_core(plan.offsets, plan.n, plan.m, grid_v, B)
+
+
+def dia_spmm_transpose(plan: DiaPlan, data: jax.Array,
+                       G: jax.Array) -> jax.Array:
+    """Aᵀ @ G -> (m, p): the forward kernel on negated offsets over a
+    column-shifted value grid (see :func:`_transpose_grid`)."""
+    grid_v = values_to_grid(plan, data)
+    offsets_T, shift = _transpose_grid(plan)
+    return _spmm_core(offsets_T, plan.m, plan.n, shift(grid_v), G)
+
+
+def dia_sddmm(plan: DiaPlan, X: jax.Array, Y: jax.Array) -> jax.Array:
+    """values of (X @ Yᵀ) at the pattern, canonical order:
+    d_v[r, k] = dot(X[r, :], Y[r + off_k, :])."""
+    grid = None
+    if _pallas_ok(plan, X.shape[1], X.dtype):
+        grid = _dia_sddmm_pallas(plan, X, Y)
+    if grid is None:
+        grid = _dia_sddmm_grid_xla(plan, X, Y)
+    return grid_to_values(plan, grid)

@@ -45,6 +45,12 @@ from ..kernels.chunk_spmm import (
     chunk_spmm,
     chunk_spmm_bwd_fused,
 )
+from ..kernels.dia import (
+    build_dia_plan,
+    dia_sddmm,
+    dia_spmm,
+    dia_spmm_transpose,
+)
 from ..kernels.ell import build_ell_plan, ell_sddmm, ell_spmm
 from ..types import SparseCOO, SparseCSR, is_sparse
 from .common import sparse_cotangent
@@ -72,6 +78,22 @@ def _plans(A, backend: str):
         return None, None
     n, m = A.mat_shape
     return (build_ell_plan(rs, cs, n, m), build_ell_plan(cs, rs, m, n))
+
+
+def _dia_plan(A, backend: str):
+    """DIA plan for a 2-D static pattern, or None.
+
+    DIA wins whenever it applies (stencil/banded/encoder patterns): it
+    replaces every per-entry gather with statically shifted dense
+    streams, at any RHS width including p=1 SpMV.
+    """
+    if backend not in ("auto", "dia"):
+        return None
+    rs, cs = A.row_sa(), A.col_sa()
+    if rs is None or cs is None or rs.arr.ndim != 1:
+        return None
+    n, m = A.mat_shape
+    return build_dia_plan(rs, cs, n, m)
 
 
 def _pallas_ok(A, p: int, backend: str) -> bool:
@@ -107,6 +129,9 @@ def _fallback_sddmm(row, col, X, Y):
 
 
 def _spmm_forward(backend, A, B):
+    dplan = _dia_plan(A, backend)
+    if dplan is not None:
+        return dia_spmm(dplan, A.data, B)
     if _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         if plan is not None:
@@ -119,6 +144,9 @@ def _spmm_forward(backend, A, B):
 
 
 def _sddmm_values(backend, A, X, Y):
+    dplan = _dia_plan(A, backend)
+    if dplan is not None:
+        return dia_sddmm(dplan, X, Y)
     if _pallas_ok(A, Y.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         if plan is not None:
@@ -136,6 +164,9 @@ def _spmm_transpose(backend, A, G):
     the combined backward and edges out the col-ELL variant (which pays an
     unsorted conversion scatter); col-ELL is used only on explicit
     ``backend="ell"``."""
+    dplan = _dia_plan(A, backend)
+    if dplan is not None:
+        return dia_spmm_transpose(dplan, A.data, G)
     if backend == "ell":
         _, cp = _plans(A, backend)
         if cp is not None:
@@ -162,7 +193,8 @@ def _spmm_cv_fwd(backend, grad_precision, A, B):
     # XLA CSE merges this take with the identical one inside the forward.
     out = _spmm_cv(backend, grad_precision, A, B)
     pg = None
-    if _pallas_ok(A, B.shape[-1], backend):
+    if _dia_plan(A, backend) is None and _pallas_ok(A, B.shape[-1],
+                                                    backend):
         plan = _chunk_plan(A, backend)
         if plan is not None:
             from ..kernels.chunk_spmm import chunk_gather
@@ -191,6 +223,9 @@ def _spmm_bwd_pair(backend, grad_precision, A, B, g, pg):
     as *derived from B* — callers must pass ``chunk_gather(plan, B)`` or
     None — so its cotangent is zero and all sensitivity is attributed to B.
     """
+    dplan = _dia_plan(A, backend)
+    if dplan is not None:
+        return dia_sddmm(dplan, g, B), dia_spmm_transpose(dplan, A.data, g)
     if _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         plan_t = _chunk_plan(A, backend, transpose=True)
@@ -300,7 +335,10 @@ def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto",
         w.r.t. ``A`` are returned only at its stored nonzeros.
       B: dense ``(m, p)`` or ``(b, m, p)`` array; batch dims must match A's
         (one side may be unbatched and is broadcast).
-      backend: "auto" | "ell" | "xla" | "pallas".
+      backend: "auto" | "dia" | "ell" | "xla" | "pallas".  "auto"
+        prefers the DIA (diagonal-structured) plan when the pattern is a
+        union of few diagonals (stencil/banded/encoder matrices — zero
+        gathers on TPU), then the Pallas chunk kernels, then XLA.
       grad_precision: "exact" (default) or "fast" — the fast mode stores
         the backward's intermediate product matrix in bfloat16 (gradA
         values stay exact; gradB gains ~1e-3 relative error).

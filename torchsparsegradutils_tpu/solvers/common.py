@@ -23,11 +23,40 @@ import jax.numpy as jnp
 from ..types import is_sparse
 
 
+def _dia_matvec(A, transpose: bool):
+    """Hoisted DIA matvec: the value-grid relayout runs once at closure
+    build time (i.e. *outside* the solver's ``lax.while_loop``) instead of
+    on every Krylov iteration.  None if the pattern is not DIA."""
+    from ..kernels.dia import _spmm_core, _transpose_grid, values_to_grid
+    from ..ops.spmm import _dia_plan
+
+    dplan = _dia_plan(A, "auto")
+    if dplan is None:
+        return None
+    gv = values_to_grid(dplan, A.data)
+    if transpose:
+        offsets_T, shift = _transpose_grid(dplan)
+        gv = shift(gv)
+        offsets, n, m = offsets_T, dplan.m, dplan.n
+    else:
+        offsets, n, m = dplan.offsets, dplan.n, dplan.m
+
+    def mv(x):
+        if x.ndim == 1:
+            return _spmm_core(offsets, n, m, gv, x[:, None])[:, 0]
+        return _spmm_core(offsets, n, m, gv, x)
+
+    return mv
+
+
 def as_matvec(A) -> Callable:
     """Normalise a matrix-like into a closure acting on (n,) or (n, k)."""
     if callable(A) and not is_sparse(A) and not isinstance(A, jnp.ndarray):
         return A
     if is_sparse(A):
+        mv_dia = _dia_matvec(A, transpose=False)
+        if mv_dia is not None:
+            return mv_dia
         from ..ops.spmm import sparse_mm
 
         def mv(x):
@@ -47,6 +76,9 @@ def as_matvec(A) -> Callable:
 def as_rmatvec(A) -> Callable:
     """Transpose matvec for a matrix-like (needed by LSMR)."""
     if is_sparse(A):
+        mv_dia = _dia_matvec(A, transpose=True)
+        if mv_dia is not None:
+            return mv_dia
         return as_matvec(A.T)
     if callable(A) and not isinstance(A, jnp.ndarray):
         raise ValueError(

@@ -295,3 +295,121 @@ def make_spd_sparse(key, n: int, nnz: int, *, layout: str = "coo",
     diag = absrow + 1.0
     data = jnp.concatenate([diag, vals, vals])
     return _build(layout, row, col, data, (n, n), index_dtype, pattern_static)
+
+
+def _stencil_pattern(n: int, m: int, offsets, nnz: int | None):
+    offs = np.unique(np.asarray(offsets, np.int64))
+    if len(offs) == 0:
+        raise ValueError("stencil_sparse: offsets must be non-empty")
+    if offs.min() <= -n or offs.max() >= m:
+        raise ValueError("stencil_sparse: offsets exceed matrix bounds")
+    rows, cols = [], []
+    for d in offs:
+        i0, i1 = max(0, -int(d)), min(n, m - int(d))
+        r = np.arange(i0, i1, dtype=np.int64)
+        rows.append(r)
+        cols.append(r + int(d))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    full = len(rows)
+    if nnz is not None:
+        if not 0 < nnz <= full:
+            raise ValueError(
+                f"stencil_sparse: nnz={nnz} not in (0, {full}] for these "
+                f"offsets")
+        if nnz < full:
+            keep = np.sort(np.random.default_rng(0).choice(
+                full, nnz, replace=False))
+            rows, cols = rows[keep], cols[keep]
+    order = np.lexsort((cols, rows))
+    return rows[order], cols[order]
+
+
+def stencil_sparse(key, shape, offsets, *, nnz: int | None = None,
+                   layout: str = "csr", value_dtype=jnp.float32,
+                   index_dtype=jnp.int32, well_conditioned: bool = False,
+                   pattern_static: bool = True):
+    """Random-valued sparse matrix on a stencil (union-of-diagonals) pattern.
+
+    The TPU-relevant counterpart of the reference's SuiteSparse benchmark
+    matrices: stencil/FEM operators (e.g. Rothberg/cfd2) and every
+    ``PairwiseEncoder`` output are unions of a few dense diagonals, which
+    this library executes through the gather-free DIA plan
+    (``kernels/dia.py``).
+
+    Args:
+      key: PRNG key for the values.
+      shape: ``(n, m)``.
+      offsets: iterable of diagonal offsets (``col - row``); boundary
+        truncation is applied automatically.
+      nnz: optionally thin the full stencil down to exactly ``nnz``
+        entries (deterministic subsample) — e.g. to replicate a reference
+        matrix's nnz.
+      well_conditioned: make the matrix strictly diagonally dominant
+        (requires offset 0), as the reference's ``well_conditioned`` flag
+        (random_sparse.py:413-419).
+    """
+    n, m = shape
+    rows, cols = _stencil_pattern(n, m, offsets, nnz)
+    if well_conditioned and not (rows == cols).any():
+        raise ValueError("well_conditioned stencil needs offset 0")
+    data = _values_for_pattern(key, rows, cols, n, len(rows), value_dtype,
+                               well_conditioned)
+    return _build(layout, rows, cols, data, (n, m), index_dtype,
+                  pattern_static)
+
+
+def make_spd_stencil(key, n: int, offsets, *, nnz: int | None = None,
+                     layout: str = "csr", value_dtype=jnp.float32,
+                     index_dtype=jnp.int32, pattern_static: bool = True):
+    """Symmetric positive-definite stencil matrix (cfd2-like).
+
+    Symmetrised offsets (±d plus the main diagonal), mirrored off-diagonal
+    values, and a diagonally-dominant diagonal — an SPD operator with the
+    diagonal structure of a discretised PDE, suitable for the solver
+    benchmarks (reference sparse_generic_solve_suite.py uses the cfd2 SPD
+    matrix).  ``nnz`` optionally thins the off-diagonal mass (symmetric
+    pairs) to approximate a target count.
+    """
+    offs = np.unique(np.abs(np.asarray(offsets, np.int64)))
+    offs = offs[offs > 0]
+    full = np.concatenate([-offs[::-1], [0], offs])
+    rows, cols = _stencil_pattern(n, n, full, None)
+    if nnz is not None and nnz < len(rows):
+        # thin symmetric pairs deterministically, keep the full diagonal
+        upper = np.where(cols > rows)[0]
+        keep_pairs = max(0, (nnz - n) // 2)
+        if keep_pairs < len(upper):
+            sel = np.sort(np.random.default_rng(0).choice(
+                upper, keep_pairs, replace=False))
+            iu = np.zeros(len(rows), bool)
+            iu[sel] = True
+            sym = set(zip(rows[sel].tolist(), cols[sel].tolist()))
+            keep = (rows == cols) | iu | np.fromiter(
+                ((int(c), int(r)) in sym for r, c in zip(rows, cols)),
+                bool, len(rows))
+            rows, cols = rows[keep], cols[keep]
+    upper_mask = cols > rows
+    kv = key
+    half = jax.random.normal(kv, (int(upper_mask.sum()),), value_dtype) * 0.5
+    # mirror: entry (i,j) and (j,i) share a value; build via lexsort map
+    ui, uj = rows[upper_mask], cols[upper_mask]
+    pair_id = {}
+    for t, (i, j) in enumerate(zip(ui.tolist(), uj.tolist())):
+        pair_id[(i, j)] = t
+    vals = np.zeros(len(rows), np.int64)
+    for e, (i, j) in enumerate(zip(rows.tolist(), cols.tolist())):
+        if i == j:
+            vals[e] = -1
+        else:
+            vals[e] = pair_id[(min(i, j), max(i, j))]
+    off_vals = jnp.where(jnp.asarray(vals) >= 0,
+                         jnp.take(half, jnp.asarray(np.maximum(vals, 0))),
+                         0.0)
+    absrow = jnp.zeros((n,), value_dtype).at[jnp.asarray(rows)].add(
+        jnp.abs(off_vals))
+    diag = absrow + 1.0
+    data = jnp.where(jnp.asarray(rows == cols),
+                     jnp.take(diag, jnp.asarray(rows)), off_vals)
+    return _build(layout, rows, cols, data, (n, n), index_dtype,
+                  pattern_static)
