@@ -85,6 +85,48 @@ def measure_op(fn: Callable, args, n_warmup: int = 3, n_runs: int = 20,
                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
+def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
+                    mem_fn: Optional[Callable] = None,
+                    mem_args=None) -> Dict[str, float]:
+    """Per-step time of ``rep`` *dependent* steps chained in one jit.
+
+    ``step: x -> x`` (same pytree structure).  This is the trustworthy
+    timing mode on the tunnelled TPU: pipelined independent dispatches
+    overlap (flattering) and ``block_until_ready`` can return early for
+    pure gather/stream programs (fake-fast); a data-dependent chain with
+    a host read of the result has neither failure mode, and matches
+    training-loop conditions.
+    """
+    try:
+        @jax.jit
+        def many(x):
+            for _ in range(rep):
+                x = step(x)
+            return x
+
+        out = many(x0)
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[0])
+        times = []
+        for _ in range(n_meas):
+            t0 = time.perf_counter()
+            out = many(x0)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf.ravel()[0])
+            times.append((time.perf_counter() - t0) * 1e6 / rep)
+        mean_us, std_us = _trimmed(times)
+        mem = (compiled_memory_mb(mem_fn, *mem_args)
+               if mem_fn is not None else None)
+        return {"time_us": round(mean_us, 1),
+                "time_std_us": round(std_us, 1), "mem_MB": mem,
+                "error": ""}
+    except Exception as e:  # noqa: BLE001 - record and continue the sweep
+        return {"time_us": float("nan"), "time_std_us": float("nan"),
+                "mem_MB": float("nan"),
+                "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
 def write_csv(name: str, rows) -> str:
     os.makedirs(RESULTS_DIR, exist_ok=True)
     path = os.path.join(RESULTS_DIR, name)

@@ -1,0 +1,68 @@
+"""sparse_logsumexp / sparse_bidir_logsumexp at cfd2 scale (reference
+benchmarks/sparse_logsumexp_suitesparse.py + sparse_bidir_logsumexp_
+suitesparse.py; reference GPU numbers: fwd 419 µs / bwd 734 µs on an
+RTX 5090 with the real cfd2).
+
+Uses the cfd2-faithful stencil pattern (DIA grid-reduction path) and the
+uniform-random pattern (chunk/segment paths).  Chained-dependent timing.
+
+Run: ``python -m benchmarks.sparse_logsumexp_suitesparse [--small]``."""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from torchsparsegradutils_tpu import sparse_bidir_logsumexp, sparse_logsumexp
+from torchsparsegradutils_tpu.utils import rand_sparse
+from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
+
+from .benchmark_utils import measure_chained, write_csv
+
+STENCIL_OFFSETS = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51,
+                          -51, 2401, -2401, 2449, -2449, 2450, -2450,
+                          2451, -2451, 2499, -2499, 2500, -2500})
+
+
+def main(small: bool = False):
+    n = 8192 if small else 123_440
+    nnz = 120_000 if small else 3_087_898
+    key = jax.random.PRNGKey(0)
+    eps = jnp.float32(1e-12)
+    rows = []
+
+    def run(A, pattern):
+        def nansum(x):
+            return jnp.where(jnp.isfinite(x), x, 0.0).sum()
+
+        cases = [
+            ("lse_dim1_fwd", lambda d: d + eps * nansum(
+                sparse_logsumexp(A.with_data(d), 1))),
+            ("lse_two_calls_fwd", lambda d: d + eps * (
+                nansum(sparse_logsumexp(A.with_data(d), 0))
+                + nansum(sparse_logsumexp(A.with_data(d), 1)))),
+            ("bidir_fwd", lambda d: d + eps * sum(
+                nansum(x) for x in sparse_bidir_logsumexp(A.with_data(d)))),
+        ]
+        for name, step in cases:
+            r = measure_chained(step, A.data, rep=6, n_meas=4)
+            rows.append(dict(op=name, pattern=pattern, n=n, nnz=A.nnz, **r))
+            print(rows[-1], flush=True)
+        grad = jax.grad(lambda d: sum(
+            nansum(x) for x in sparse_bidir_logsumexp(A.with_data(d))))
+        r = measure_chained(lambda d: d + eps * grad(d), A.data,
+                            rep=6, n_meas=4)
+        rows.append(dict(op="bidir_fwd_bwd", pattern=pattern, n=n,
+                         nnz=A.nnz, **r))
+        print(rows[-1], flush=True)
+
+    offs = [0, 1, -1, 9, -9, 64, -64] if small else STENCIL_OFFSETS
+    run(stencil_sparse(key, (n, n), offs, layout="csr"), "stencil")
+    run(rand_sparse(key, (n, n), nnz, layout="csr"), "random")
+    write_csv("sparse_logsumexp_suitesparse_results.csv", rows)
+
+
+if __name__ == "__main__":
+    main(small="--small" in sys.argv)

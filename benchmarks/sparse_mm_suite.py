@@ -1,9 +1,12 @@
 """sparse_mm benchmark at SuiteSparse cfd2 scale (reference
-benchmarks/sparse_mm_suite.py): N=123,440, nnz=3,087,898, M=128.
+benchmarks/sparse_mm_suite.py): N=123,440, nnz≈3,087,898, M=128.
 
-Compares this library's backends (pallas / xla / ell) forward and
-sparsity-preserving backward.  Run: ``python -m benchmarks.sparse_mm_suite
-[--small]``."""
+Two patterns (see bench.py for the rationale): a cfd2-faithful
+25-diagonal stencil (DIA execution path) and a uniform-random pattern
+(gather-bound worst case), across this library's backends.  Timing is
+chained-dependent steps (``measure_chained``).
+
+Run: ``python -m benchmarks.sparse_mm_suite [--small]``."""
 
 from __future__ import annotations
 
@@ -14,10 +17,14 @@ import jax.numpy as jnp
 
 from torchsparsegradutils_tpu import sparse_mm
 from torchsparsegradutils_tpu.utils import rand_sparse
+from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
 
-from .benchmark_utils import measure_op, write_csv
+from .benchmark_utils import measure_chained, write_csv
 
 N, NNZ, M = 123_440, 3_087_898, 128
+STENCIL_OFFSETS = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51,
+                          -51, 2401, -2401, 2449, -2449, 2450, -2450,
+                          2451, -2451, 2499, -2499, 2500, -2500})
 
 
 def main(small: bool = False):
@@ -26,25 +33,44 @@ def main(small: bool = False):
     kA, kB, kG = jax.random.split(key, 3)
     B = jax.random.normal(kB, (n, m), jnp.float32)
     G = jax.random.normal(kG, (n, m), jnp.float32)
+    eps = jnp.float32(1e-12)
     rows = []
-    for layout in ("csr", "coo"):
-        A = rand_sparse(kA, (n, n), nnz, layout=layout)
-        for backend in ("pallas", "xla", "ell"):
+
+    def run(A, pattern, layout, backends):
+        for backend in backends:
             if backend == "pallas" and jax.default_backend() not in (
                     "tpu", "axon"):
                 continue
-            fwd = lambda d, B: sparse_mm(A.with_data(d), B, backend=backend)
-            r = measure_op(fwd, (A.data, B))
-            rows.append(dict(op="sparse_mm_fwd", layout=layout,
-                             backend=backend, n=n, nnz=nnz, rhs=m, **r))
-            bwd = jax.grad(
-                lambda d, B: (sparse_mm(A.with_data(d), B,
+
+            def fwd_step(b):
+                return b + eps * sparse_mm(A, b, backend=backend)
+
+            r = measure_chained(fwd_step, B, rep=6, n_meas=4)
+            rows.append(dict(op="sparse_mm_fwd", pattern=pattern,
+                             layout=layout, backend=backend, n=n, nnz=A.nnz,
+                             rhs=m, **r))
+            grad = jax.grad(
+                lambda d, b: (sparse_mm(A.with_data(d), b,
                                         backend=backend) * G).sum(),
                 argnums=(0, 1))
-            r = measure_op(bwd, (A.data, B))
-            rows.append(dict(op="sparse_mm_bwd", layout=layout,
-                             backend=backend, n=n, nnz=nnz, rhs=m, **r))
+
+            def step(db):
+                d, b = db
+                gd, gb = grad(d, b)
+                return (d + eps * gd, b + eps * gb)
+
+            r = measure_chained(step, (A.data, B), rep=6, n_meas=4)
+            rows.append(dict(op="sparse_mm_fwd_bwd", pattern=pattern,
+                             layout=layout, backend=backend, n=n, nnz=A.nnz,
+                             rhs=m, **r))
             print(rows[-2], rows[-1], sep="\n", flush=True)
+
+    offs = ([0, 1, -1, 9, -9, 64, -64] if small else STENCIL_OFFSETS)
+    A_st = stencil_sparse(kA, (n, n), offs, layout="csr")
+    run(A_st, "stencil", "csr", ("dia", "xla"))
+    for layout in ("csr", "coo"):
+        A = rand_sparse(kA, (n, n), nnz, layout=layout)
+        run(A, "random", layout, ("pallas", "xla", "ell"))
     write_csv("sparse_mm_suite_results.csv", rows)
 
 

@@ -1,7 +1,11 @@
 """sparse_triangular_solve benchmark (reference
 benchmarks/sparse_triangular_solve_suitesparse.py shape: cfd2-scale
-lower-triangular system, M=2 RHS): blocked back-substitution forward +
-transpose-solve backward across block sizes.
+lower-triangular system, M=2 RHS; reference GPU: fwd 23.8 ms /
+bwd 48.7 ms).
+
+Two matrices: the banded lower half of the cfd2-like stencil (DIA
+rolling-window kernel) and a random lower-triangular pattern (blocked
+``lax.scan`` path).  Chained-dependent timing.
 
 Run: ``python -m benchmarks.sparse_triangular_solve_suite [--small]``."""
 
@@ -14,30 +18,46 @@ import jax.numpy as jnp
 
 from torchsparsegradutils_tpu import sparse_triangular_solve
 from torchsparsegradutils_tpu.utils import rand_sparse_tri
+from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
 
-from .benchmark_utils import measure_op, write_csv
+from .benchmark_utils import measure_chained, write_csv
+
+LOWER_STENCIL = [-2500, -2499, -2451, -2450, -2449, -2401, -51, -50, -49,
+                 -3, -2, -1, 0]
 
 
 def main(small: bool = False):
     n, nnz, m = (4096, 20_000, 2) if small else (123_440, 3_087_898 // 2, 2)
     key = jax.random.PRNGKey(0)
-    A = rand_sparse_tri(key, (n, n), nnz, upper=False, layout="csr")
     B = jax.random.normal(jax.random.fold_in(key, 1), (n, m))
+    eps = jnp.float32(1e-12)
     rows = []
-    for bs in (128, 256):
-        fwd = lambda d, B: sparse_triangular_solve(
-            A.with_data(d), B, upper=False, block_size=bs)
-        r = measure_op(fwd, (A.data, B), n_runs=6, pipeline=2,
-                       with_memory=False)
-        rows.append(dict(op="tri_solve_fwd", block_size=bs, n=n, nnz=nnz,
-                         rhs=m, **r))
-        bwd = jax.grad(lambda d, B: (sparse_triangular_solve(
-            A.with_data(d), B, upper=False, block_size=bs) ** 2).sum())
-        r = measure_op(bwd, (A.data, B), n_runs=6, pipeline=2,
-                       with_memory=False)
-        rows.append(dict(op="tri_solve_bwd", block_size=bs, n=n, nnz=nnz,
-                         rhs=m, **r))
+
+    def run(A, pattern, algorithm, **kw):
+        def fwd_step(b):
+            return b + eps * sparse_triangular_solve(
+                A, b, upper=False, algorithm=algorithm, **kw)
+
+        r = measure_chained(fwd_step, B, rep=4, n_meas=4)
+        rows.append(dict(op="tri_solve_fwd", pattern=pattern,
+                         algorithm=algorithm, n=n, nnz=A.nnz, rhs=m, **r))
+        grad = jax.grad(lambda d, b: (sparse_triangular_solve(
+            A.with_data(d), b, upper=False, algorithm=algorithm,
+            **kw) ** 2).sum())
+
+        def bwd_step(d):
+            return d + eps * grad(d, B)
+
+        r = measure_chained(bwd_step, A.data, rep=4, n_meas=4)
+        rows.append(dict(op="tri_solve_fwd_bwd", pattern=pattern,
+                         algorithm=algorithm, n=n, nnz=A.nnz, rhs=m, **r))
         print(rows[-2], rows[-1], sep="\n", flush=True)
+
+    offs = [-64, -9, -1, 0] if small else LOWER_STENCIL
+    A_st = stencil_sparse(key, (n, n), offs, well_conditioned=True)
+    run(A_st, "stencil", "dia")
+    A_rd = rand_sparse_tri(key, (n, n), nnz, upper=False, layout="csr")
+    run(A_rd, "random", "block", block_size=128)
     write_csv("sparse_triangular_solve_results.csv", rows)
 
 

@@ -206,3 +206,113 @@ class TestDiaOps:
             S.data)
         assert np.allclose(dense, dense.T)
         assert np.linalg.eigvalsh(dense).min() > 0
+
+
+class TestDiaTriangular:
+    """Banded rolling-window triangular solve (kernels/dia_tri.py)."""
+
+    @pytest.mark.parametrize("upper", [False, True])
+    @pytest.mark.parametrize("unit", [False, True])
+    @pytest.mark.parametrize("transpose", [False, True])
+    def test_all_flags_vs_dense(self, upper, unit, transpose):
+        from torchsparsegradutils_tpu import sparse_triangular_solve
+        n = 500
+        offs = [0, 3, 17, 130] if upper else [-130, -17, -3, 0]
+        if unit:
+            offs = [o for o in offs if o != 0]
+        A = stencil_sparse(jax.random.fold_in(KEY, upper * 4 + unit * 2),
+                           (n, n), offs, well_conditioned=not unit)
+        if unit:
+            # damp off-diagonals so the unit-triangular solution does not
+            # grow exponentially (pure f32 conditioning, not kernel error)
+            A = A.with_data(A.data * 0.15)
+        B = jax.random.normal(jax.random.fold_in(KEY, 9), (n, 3))
+        x = sparse_triangular_solve(A, B, upper=upper, unitriangular=unit,
+                                    transpose=transpose, algorithm="dia")
+        dense = np.zeros((n, n), np.float64)
+        dense[np.asarray(A.rows()), np.asarray(A.cols())] = np.asarray(
+            A.data, np.float64)
+        if unit:
+            dense[np.arange(n), np.arange(n)] = 1.0
+        M = dense.T if transpose else dense
+        xd = np.linalg.solve(M, np.asarray(B, np.float64))
+        np.testing.assert_allclose(np.asarray(x), xd, rtol=2e-4, atol=2e-5)
+
+    def test_gradients_match_block_algorithm(self):
+        from torchsparsegradutils_tpu import sparse_triangular_solve
+        n = 300
+        A = stencil_sparse(KEY, (n, n), [-40, -7, -1, 0],
+                           well_conditioned=True)
+        B = jax.random.normal(KEY, (n, 2))
+
+        def loss(d, b, algorithm):
+            return (sparse_triangular_solve(
+                A.with_data(d), b, upper=False,
+                algorithm=algorithm) ** 2).sum()
+
+        gd = jax.grad(loss, argnums=(0, 1))(A.data, B, "dia")
+        gb = jax.grad(loss, argnums=(0, 1))(A.data, B, "block")
+        np.testing.assert_allclose(gd[0], gb[0], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(gd[1], gb[1], rtol=1e-3, atol=1e-4)
+
+    def test_dia_algorithm_requires_banded(self):
+        from torchsparsegradutils_tpu import sparse_triangular_solve
+        from torchsparsegradutils_tpu.utils import rand_sparse_tri
+        A = rand_sparse_tri(KEY, (200, 200), 900, upper=False,
+                            layout="csr")
+        B = jax.random.normal(KEY, (200, 2))
+        with pytest.raises(ValueError, match="dia"):
+            sparse_triangular_solve(A, B, upper=False, algorithm="dia")
+
+
+class TestDiaLogsumexp:
+    """DIA grid-reduction logsumexp (ops/logsumexp.py:_dia_lse)."""
+
+    @pytest.mark.parametrize("include_zeros", [True, False])
+    @pytest.mark.parametrize("dim", [0, 1])
+    def test_matches_dense(self, include_zeros, dim):
+        from torchsparsegradutils_tpu import sparse_logsumexp
+        A = _mk([-9, -1, 0, 2, 40], shape=(300, 300), nnz=1100)
+        out = sparse_logsumexp(A, dim=dim, include_zeros=include_zeros,
+                               backend="dia")
+        dense = jnp.zeros((300, 300)).at[
+            jnp.asarray(A.rows()), jnp.asarray(A.cols())].set(A.data)
+        if include_zeros:
+            ref = jax.scipy.special.logsumexp(dense, axis=dim)
+        else:
+            mask = jnp.zeros((300, 300), bool).at[
+                jnp.asarray(A.rows()), jnp.asarray(A.cols())].set(True)
+            ref = jax.scipy.special.logsumexp(
+                jnp.where(mask, dense, -jnp.inf), axis=dim)
+        fin = jnp.isfinite(ref)
+        np.testing.assert_allclose(jnp.where(fin, out, 0.0),
+                                   jnp.where(fin, ref, 0.0),
+                                   rtol=1e-5, atol=1e-5)
+        assert bool(jnp.all(jnp.where(fin, True, out == ref)))
+
+    def test_grad(self):
+        from torchsparsegradutils_tpu import sparse_logsumexp
+        A = _mk([-3, 0, 3], shape=(120, 120))
+        rows, cols = jnp.asarray(A.rows()), jnp.asarray(A.cols())
+
+        def f(d):
+            return sparse_logsumexp(A.with_data(d), dim=1,
+                                    backend="dia").sum()
+
+        def fd(d):
+            return jax.scipy.special.logsumexp(
+                jnp.zeros((120, 120)).at[rows, cols].set(d), axis=1).sum()
+
+        np.testing.assert_allclose(jax.grad(f)(A.data),
+                                   jax.grad(fd)(A.data),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bidir_shares_grid(self):
+        from torchsparsegradutils_tpu import (sparse_bidir_logsumexp,
+                                              sparse_logsumexp)
+        A = _mk([-2, 0, 5], shape=(90, 90))
+        c, r = sparse_bidir_logsumexp(A, backend="dia")
+        np.testing.assert_allclose(
+            r, sparse_logsumexp(A, dim=1, backend="dia"), rtol=1e-6)
+        np.testing.assert_allclose(
+            c, sparse_logsumexp(A, dim=0, backend="dia"), rtol=1e-6)

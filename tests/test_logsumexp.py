@@ -189,3 +189,49 @@ def test_jit(key, layout):
     out = jax.jit(lambda s: sparse_logsumexp(s, 1))(sp)
     ref = jax.scipy.special.logsumexp(sp.todense(), axis=1)
     _assert_close_inf(out, ref, rtol=1e-6)
+
+
+class TestCscAcceptance:
+    """CSC input parity (reference sparse_logsumexp.py:76-102)."""
+
+    def _csc(self, key, n=40, m=30):
+        import numpy as np
+        from torchsparsegradutils_tpu.types import SparseCSC
+        rng = np.random.default_rng(7)
+        dense = np.where(rng.random((n, m)) < 0.2,
+                         rng.normal(size=(n, m)), 0.0).astype(np.float32)
+        import scipy.sparse as sps
+        M = sps.csc_matrix(dense)
+        A = SparseCSC(M.indptr, M.indices, jnp.asarray(M.data), (n, m))
+        return A, jnp.asarray(dense), jnp.asarray(dense != 0)
+
+    @pytest.mark.parametrize("dim", [0, 1, (0, 1)])
+    def test_matches_dense(self, key, dim):
+        A, dense, mask = self._csc(key)
+        out = sparse_logsumexp(A, dim=dim)
+        ref = jax.scipy.special.logsumexp(dense, axis=dim)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_keepdim_and_support_mask(self, key):
+        A, dense, mask = self._csc(key)
+        out = sparse_logsumexp(A, dim=0, keepdim=True, include_zeros=False)
+        ref = jax.scipy.special.logsumexp(
+            jnp.where(mask, dense, -jnp.inf), axis=0, keepdims=True)
+        fin = jnp.isfinite(ref)
+        np.testing.assert_allclose(jnp.where(fin, out, 0),
+                                   jnp.where(fin, ref, 0), rtol=1e-5)
+        assert out.shape == (1, dense.shape[1])
+
+    def test_bidir(self, key):
+        from torchsparsegradutils_tpu import sparse_bidir_logsumexp
+        A, dense, _ = self._csc(key)
+        c, r = sparse_bidir_logsumexp(A)
+        np.testing.assert_allclose(
+            c, jax.scipy.special.logsumexp(dense, axis=0), rtol=1e-5)
+        np.testing.assert_allclose(
+            r, jax.scipy.special.logsumexp(dense, axis=1), rtol=1e-5)
+        padded = sparse_bidir_logsumexp(A, output_layout="padded")
+        G = max(dense.shape)
+        assert padded.shape == (2, G)
+        np.testing.assert_allclose(padded[0, :dense.shape[1]], c, rtol=1e-6)
+        np.testing.assert_allclose(padded[1, :dense.shape[0]], r, rtol=1e-6)

@@ -133,3 +133,58 @@ def test_sharded_chunk_spmm_uneven(key):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(A.todense() @ B), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_sharded_chunk_spmm_grad(key):
+    """Differentiable sharded Pallas SpMM: sparse gradA at every shard's
+    nonzeros + psum'd gradB (VERDICT r1 item 6)."""
+    from torchsparsegradutils_tpu.parallel.chunk_sharded import (
+        build_sharded_chunk_plan, sharded_chunk_spmm)
+    A = rand_sparse(key, (64, 40), 400, layout="csr")
+    B = jax.random.normal(jax.random.fold_in(key, 1), (40, 5))
+    G = jax.random.normal(jax.random.fold_in(key, 2), (64, 5))
+    mesh = _mesh1d(n=8)
+    plan = build_sharded_chunk_plan(A, 8)
+
+    def loss(d, b):
+        return (sharded_chunk_spmm(plan, d, b, mesh, "x") * G).sum()
+
+    gd, gb = jax.grad(loss, argnums=(0, 1))(A.data, B)
+    Ad = A.todense()
+    rows, cols = jnp.asarray(A.rows()), jnp.asarray(A.cols())
+
+    def dense_loss(d, b):
+        return ((jnp.zeros_like(Ad).at[rows, cols].set(d) @ b) * G).sum()
+
+    rd, rb = jax.grad(dense_loss, argnums=(0, 1))(A.data, B)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(rd), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_local_shard_spmm_grad_values(key):
+    """gradA VALUES parity for the in-shard library op (not just shape)."""
+    from torchsparsegradutils_tpu.parallel import (local_shard_spmm,
+                                                   shard_rows,
+                                                   sharded_sparse_mm)
+    A = rand_sparse(key, (24, 24), 80)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (24, 3))
+    mesh = _mesh1d(n=4)
+    M = shard_rows(A, 4)
+
+    def loss(data, B):
+        M2 = type(M)(local_rows=M.local_rows, cols=M.cols, data=data,
+                     shape=M.shape, rows_per_shard=M.rows_per_shard,
+                     n_shards=M.n_shards, mask=M.mask)
+        return (sharded_sparse_mm(M2, B, mesh, "x") ** 2).sum()
+
+    g_data, _ = jax.grad(loss, argnums=(0, 1))(M.data, B)
+    # reference grads at nnz, reassembled into the shard layout
+    rows, cols = jnp.asarray(A.rows()), jnp.asarray(A.cols())
+    Ad = jnp.zeros((24, 24)).at[rows, cols].set(A.data)
+    rg = jax.grad(lambda d: ((jnp.zeros((24, 24)).at[rows, cols].set(d)
+                              @ B) ** 2).sum())(A.data)
+    M_ref = shard_rows(A.with_data(rg), 4)
+    np.testing.assert_allclose(np.asarray(g_data), np.asarray(M_ref.data),
+                               rtol=1e-4, atol=1e-5)

@@ -262,3 +262,41 @@ def test_minres_scalar_shift_matches_reference_convention(key):
     ref = jnp.linalg.solve(A.todense() + 0.7 * jnp.eye(24), b)
     np.testing.assert_allclose(np.asarray(x[0]), np.asarray(ref),
                                rtol=1e-2, atol=1e-2)
+
+
+class TestLSMRComplex:
+    """Complex dtype support (reference utils/lsmr.py:167-171)."""
+
+    def test_complex_least_squares(self, key):
+        from torchsparsegradutils_tpu.solvers import LSMRSettings, lsmr
+        rng = np.random.default_rng(3)
+        n, m = 90, 60
+        Ar = (rng.normal(size=(n, m))
+              + 1j * rng.normal(size=(n, m))).astype(np.complex64)
+        b = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(
+            np.complex64)
+        A = jnp.asarray(Ar)
+        x, itn = lsmr(A, jnp.asarray(b),
+                      rmatvec=lambda y: A.conj().T @ y,
+                      settings=LSMRSettings(max_iter=400, atol=1e-7,
+                                            btol=1e-7))
+        xr = np.linalg.lstsq(Ar, b, rcond=None)[0]
+        np.testing.assert_allclose(np.asarray(x), xr, rtol=2e-3, atol=2e-4)
+
+    def test_complex_damped(self, key):
+        from torchsparsegradutils_tpu.solvers import LSMRSettings, lsmr
+        rng = np.random.default_rng(4)
+        n, m = 50, 50
+        Ar = (rng.normal(size=(n, m))
+              + 1j * rng.normal(size=(n, m))).astype(np.complex64)
+        b = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(
+            np.complex64)
+        damp = 0.7
+        A = jnp.asarray(Ar)
+        x, _ = lsmr(A, jnp.asarray(b), rmatvec=lambda y: A.conj().T @ y,
+                    settings=LSMRSettings(max_iter=500, atol=1e-8,
+                                          btol=1e-8, damp=damp))
+        # normal equations of the damped system
+        xr = np.linalg.solve(Ar.conj().T @ Ar + damp**2 * np.eye(m),
+                             Ar.conj().T @ b)
+        np.testing.assert_allclose(np.asarray(x), xr, rtol=2e-3, atol=2e-4)

@@ -9,13 +9,14 @@ backwards for pluggable solvers, a sparse multivariate normal, and an nD
 pairwise spatial encoder.
 """
 
-from .types import SparseCOO, SparseCSR, is_sparse
+from .types import SparseCOO, SparseCSC, SparseCSR, is_sparse
 from .ops.spmm import sparse_mm, sddmm
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SparseCOO",
+    "SparseCSC",
     "SparseCSR",
     "is_sparse",
     "sparse_mm",

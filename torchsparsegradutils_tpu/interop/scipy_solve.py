@@ -41,6 +41,24 @@ __all__ = ["have_scipy", "sparse_solve_scipy", "scipy_solver"]
 _ITERATIVE = {"cg", "cgs", "minres", "gmres", "bicgstab", "lsmr"}
 _DIRECT = {"spsolve"}
 
+# Host-side LU cache: the forward solve factorises A once and the IFT
+# backward reuses it with a transposed solve — the reference's
+# ``factorized(A)`` + ``trans="T"`` reuse (cupy_sparse_solve.py:314-323).
+# Keyed on (pattern identity, value bytes); small FIFO.
+_LU_CACHE: dict = {}
+_LU_CACHE_MAX = 8
+
+
+def _lu_for(pat_key, data64, M_csc):
+    key = (pat_key, hash(data64.tobytes()))
+    lu = _LU_CACHE.get(key)
+    if lu is None:
+        lu = _spl.splu(M_csc)
+        if len(_LU_CACHE) >= _LU_CACHE_MAX:
+            _LU_CACHE.pop(next(iter(_LU_CACHE)))
+        _LU_CACHE[key] = lu
+    return lu
+
 
 def _remap_tol_kwargs(fn: Callable, kwargs: dict) -> dict:
     """Adapt tolerance kwarg names to the solver's signature (reference
@@ -97,15 +115,22 @@ def _make_scipy_solver(method: str, transpose: bool,
                 f"scipy iterative solver {method!r} supports a single RHS "
                 "vector only (reference guard, cupy_sparse_solve.py:227-240)")
 
+        pat_key = (rows.tobytes(), cols.tobytes())
+
         def host_solve(data, Bh):
-            M = _sps.csr_matrix(
-                (np.asarray(data, np.float64), (rows, cols)), shape=(n, n))
-            if transpose:
-                M = M.T.tocsr()
+            data64 = np.asarray(data, np.float64)
             if method == "spsolve":
-                x = _spl.spsolve(M, np.asarray(Bh, np.float64))
+                # factorise the *untransposed* matrix so forward and IFT
+                # backward share one LU; the backward solves with trans="T"
+                M = _sps.csc_matrix((data64, (rows, cols)), shape=(n, n))
+                lu = _lu_for(pat_key, data64, M)
+                x = lu.solve(np.asarray(Bh, np.float64),
+                             trans="T" if transpose else "N")
                 x = np.asarray(x).reshape(Bh.shape)
             else:
+                M = _sps.csr_matrix((data64, (rows, cols)), shape=(n, n))
+                if transpose:
+                    M = M.T.tocsr()
                 fn = getattr(_spl, method)
                 kw = _remap_tol_kwargs(fn, {**solver_kwargs, **kwargs})
                 x, info = fn(M, np.asarray(Bh[:, 0], np.float64), **kw)

@@ -29,12 +29,22 @@ fallback — vectors are small enough that fusion does not matter.
 A plan is built host-side from the static pattern (content-hashed index
 arrays) and cached; patterns with too many distinct offsets or too low a
 grid fill are rejected so generic paths handle them.
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from torchsparsegradutils_tpu import sparse_mm
+    >>> from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
+    >>> A = stencil_sparse(jax.random.PRNGKey(0), (64, 64), [-8, 0, 8])
+    >>> B = jnp.ones((64, 4))
+    >>> out = sparse_mm(A, B, backend="dia")   # shifted-stream execution
+    >>> bool(jnp.allclose(out, A.todense() @ B, atol=1e-5))
+    True
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -121,8 +131,13 @@ def _use_pallas_grid(dtype) -> bool:
     return dtype in (jnp.float32, jnp.bfloat16)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
 def values_to_grid(plan: DiaPlan, data: jax.Array) -> jax.Array:
-    """(nnz,) canonical values -> (n, K) diagonal grid (zeros at holes)."""
+    """(nnz,) canonical values -> (n, K) diagonal grid (zeros at holes).
+
+    Differentiable: the relayout is a partial permutation, so its VJP is
+    the inverse relayout (:func:`grid_to_values`) — hole cotangents drop.
+    """
     if plan.fill_plan is not None and _use_pallas_grid(data.dtype):
         flat = window_gather(plan.fill_plan, data)
     else:
@@ -130,12 +145,33 @@ def values_to_grid(plan: DiaPlan, data: jax.Array) -> jax.Array:
     return flat.reshape(plan.n, plan.K)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
 def grid_to_values(plan: DiaPlan, grid: jax.Array) -> jax.Array:
     """(n, K) diagonal grid -> (nnz,) canonical values."""
     flat = grid.reshape(-1)
     if plan.unfill_plan is not None and _use_pallas_grid(grid.dtype):
         return window_gather(plan.unfill_plan, flat)
     return jnp.take(flat, jnp.asarray(plan.pos))
+
+
+def _v2g_fwd(plan, data):
+    return values_to_grid(plan, data), None
+
+
+def _v2g_bwd(plan, _, ct):
+    return (grid_to_values(plan, ct),)
+
+
+def _g2v_fwd(plan, grid):
+    return grid_to_values(plan, grid), None
+
+
+def _g2v_bwd(plan, _, ct):
+    return (values_to_grid(plan, ct),)
+
+
+values_to_grid.defvjp(_v2g_fwd, _v2g_bwd)
+grid_to_values.defvjp(_g2v_fwd, _g2v_bwd)
 
 
 # --------------------------------------------------------------------------

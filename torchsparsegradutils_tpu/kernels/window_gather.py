@@ -32,28 +32,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import StaticArray, as_device_array
 
-TILE = 16384         # destination slots per grid step (128 x 128)
-TR = TILE // 128     # destination sublane rows per step
-WS_CAP = 65536       # max source-window elements (VMEM: 2 x WS x 4 B)
-# Tile sizing: per-step DMA latency on a v5e is ~3 µs; with 2048-slot
-# tiles the kernel was latency-bound (~5.7 ms at 3M nnz).  128x128 tiles
-# put ~3-5 µs of compute per step, hiding the latency (~1 ms).
+TR_OPTIONS = (64, 32, 16)   # destination sublane rows per grid step
+D_CAP = 32           # max drift steps per tile (see below)
+PADF = D_CAP         # front zero-pad rows on src (compressive maps)
+# Because the map is monotone and near-linear, destination row i of a
+# tile reads from window row i + delta with a *small*, slowly drifting
+# delta (the hole/expansion drift across one tile plus jitter).  The
+# kernel therefore loops over delta in [0, D) with a sliding (TR, 128)
+# operand slice — D is typically 2-12 — instead of testing every source
+# slab (which scales with the tile's whole source span and made the
+# kernel compute-bound: ~5.7 ms at 3M nnz, vs ~1 ms this way).
 
 
 @dataclass(frozen=True)
 class WindowPlan:
-    """Static relayout plan: dst[d] = src[loc[d] + 128*w_rows[tile(d)]]."""
+    """Static relayout plan.
+
+    For destination slot d in tile t at in-tile row i = (d % TILE)//128:
+    ``dst[d] = src[(w_rows[t] + i + loc[d]//128) * 128 + loc[d] % 128]``
+    (or 0 when ``loc[d] < 0``) — i.e. loc packs (delta, lane).
+    """
     dst_size: int
-    dst_pad: int         # multiple of TILE
+    dst_pad: int         # multiple of TR*128
     src_size: int
     src_pad: int         # elements the caller must pad src to (mult of 128)
-    WS: int              # window elements (multiple of 128)
+    D: int               # drift steps per tile (window = TR + D rows)
+    TR: int              # destination rows per tile
     w_rows: np.ndarray   # (ntiles,) int32 window start in 128-element rows
-    loc: np.ndarray      # (dst_pad,) int32 local source index, -1 => 0
+    loc: np.ndarray      # (dst_pad,) int32 delta*128 + lane, -1 => 0
 
     @property
     def ntiles(self) -> int:
-        return self.dst_pad // TILE
+        return self.dst_pad // (self.TR * 128)
 
 
 def build_window_plan(src_of_dst: np.ndarray, dst_size: int,
@@ -66,48 +76,60 @@ def build_window_plan(src_of_dst: np.ndarray, dst_size: int,
         (non-decreasing) — that is what makes windows local.
       dst_size / src_size: logical sizes.
 
-    Returns None when some tile's window exceeds ``WS_CAP`` (degenerate
-    skew) — callers fall back to the XLA scatter path.
+    Returns None when every tile height's drift exceeds ``D_CAP``
+    (degenerate skew) — callers fall back to the XLA scatter path.
     """
     src_of_dst = np.asarray(src_of_dst, np.int64)
     assert src_of_dst.shape == (dst_size,)
+    for TR in TR_OPTIONS:
+        plan = _try_build(src_of_dst, dst_size, src_size, TR)
+        if plan is not None:
+            return plan
+    return None
+
+
+def _try_build(src_of_dst: np.ndarray, dst_size: int, src_size: int,
+               TR: int) -> WindowPlan | None:
+    TILE = TR * 128
     dst_pad = -(-dst_size // TILE) * TILE
     m = np.full(dst_pad, -1, np.int64)
     m[:dst_size] = src_of_dst
-    tiles = m.reshape(-1, TILE)
-    valid = tiles >= 0
-    any_valid = valid.any(axis=1)
-    lo = np.where(any_valid,
-                  np.min(np.where(valid, tiles, np.iinfo(np.int64).max),
-                         axis=1), 0)
-    hi = np.where(any_valid, np.max(np.where(valid, tiles, -1), axis=1), 0)
-    # carry the previous window start into empty tiles
-    for t in range(len(lo)):
+    slab = m >> 7                                   # src row; -1 -> -1
+    row = (np.arange(dst_pad) % TILE) // 128        # in-tile dest row
+    rel = np.where(m >= 0, slab - row, np.iinfo(np.int64).max)
+    rel_t = rel.reshape(-1, TILE)
+    any_valid = (m.reshape(-1, TILE) >= 0).any(axis=1)
+    base = np.where(any_valid, rel_t.min(axis=1), 0)
+    for t in range(len(base)):                      # carry into empty tiles
         if not any_valid[t]:
-            lo[t] = lo[t - 1] if t else 0
-            hi[t] = lo[t]
-    w_rows = lo // 128
-    span = hi - w_rows * 128 + 1
-    WS = int(-(-int(span.max()) // 128) * 128)
-    if WS > WS_CAP:
+            base[t] = base[t - 1] if t else 0
+    # base may be negative (compressive maps near the start); the caller
+    # front-pads src by PADF rows of zeros so windows never pre-start
+    if (base < -PADF).any():
         return None
-    loc = np.where(m >= 0,
-                   m - np.repeat(w_rows * 128, TILE), -1).astype(np.int32)
-    src_pad = int(max(int((w_rows[-1:] * 128 + WS).max(initial=0)),
-                      -(-src_size // 128) * 128,
-                      WS))
-    # every tile's window must stay inside src_pad
-    src_pad = max(src_pad, int((w_rows * 128 + WS).max()))
-    return WindowPlan(dst_size=dst_size, dst_pad=dst_pad,
-                      src_size=src_size, src_pad=src_pad, WS=WS,
-                      w_rows=w_rows.astype(np.int32), loc=loc)
+    delta = np.where(m >= 0,
+                     slab - row - np.repeat(base, TILE), -1)
+    D = int(delta.max(initial=0)) + 1
+    if D > D_CAP:
+        return None
+    loc = np.where(m >= 0, delta * 128 + (m & 127), -1).astype(np.int32)
+    w_rows = (base + PADF).astype(np.int32)         # into the padded src
+    WS = (TR + D) * 128
+    src_pad = int(max((w_rows.astype(np.int64) * 128 + WS).max(),
+                      PADF * 128 + -(-src_size // 128) * 128))
+    plan = WindowPlan(dst_size=dst_size, dst_pad=dst_pad,
+                      src_size=src_size, src_pad=src_pad, D=D, TR=TR,
+                      w_rows=w_rows, loc=loc)
+    return plan
 
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _kernel(S: int):
+def _kernel(D: int, TR: int):
+    WR = TR + D          # window rows
+
     def kernel(w_ref, loc_ref, src_ref, out_ref, vwin, sems):
         t = pl.program_id(0)
         nt = pl.num_programs(0)
@@ -116,7 +138,7 @@ def _kernel(S: int):
 
         def dma(row_start, buf):
             return pltpu.make_async_copy(
-                src_ref.at[pl.ds(row_start, S)], vwin.at[buf],
+                src_ref.at[pl.ds(row_start, WR)], vwin.at[buf],
                 sems.at[buf])
 
         @pl.when(t == 0)
@@ -130,14 +152,14 @@ def _kernel(S: int):
         dma(w_ref[t], slot).wait()
 
         loc = loc_ref[:]                      # (TR, 128) int32
-        slab = jnp.floor_divide(loc, 128)     # -1 stays negative
+        delta = jnp.floor_divide(loc, 128)    # -1 stays negative
         lane = jnp.mod(loc, 128)              # floor mod: -1 -> 127
         acc = jnp.zeros((TR, 128), out_ref.dtype)
-        for s in range(S):
-            row = vwin[slot, s, :]
-            g = jnp.take_along_axis(
-                jnp.broadcast_to(row[None, :], (TR, 128)), lane, axis=1)
-            acc = jnp.where(slab == s, g, acc)
+        for s in range(D):
+            # dest row i reads window row i + s: a sliding (TR, 128)
+            # operand slice — per-slot work is O(D), not O(source span)
+            g = jnp.take_along_axis(vwin[slot, s:s + TR, :], lane, axis=1)
+            acc = jnp.where(delta == s, g, acc)
         out_ref[:] = acc
     return kernel
 
@@ -145,12 +167,12 @@ def _kernel(S: int):
 def window_gather(plan: WindowPlan, src: jax.Array) -> jax.Array:
     """Apply the relayout: returns (dst_size,) with dst[d]=src[map[d]]."""
     assert src.ndim == 1 and src.shape[0] == plan.src_size
-    pad = plan.src_pad - plan.src_size
-    if pad:
-        src = jnp.concatenate([src, jnp.zeros((pad,), src.dtype)])
+    tail = plan.src_pad - plan.src_size - PADF * 128
+    src = jnp.concatenate([jnp.zeros((PADF * 128,), src.dtype), src,
+                           jnp.zeros((max(tail, 0),), src.dtype)])
     src2d = src.reshape(-1, 128)
     loc2d = as_device_array(plan.loc).reshape(-1, 128)
-    S = plan.WS // 128
+    TR = plan.TR
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(plan.ntiles,),
@@ -160,12 +182,12 @@ def window_gather(plan: WindowPlan, src: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((TR, 128), lambda t, w: (t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, S, 128), src.dtype),
+            pltpu.VMEM((2, TR + plan.D, 128), src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _kernel(S),
+        _kernel(plan.D, TR),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.dst_pad // 128, 128),
                                        src.dtype),

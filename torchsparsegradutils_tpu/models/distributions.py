@@ -28,6 +28,17 @@ beyond the reference — ``SparseMultivariateNormal.log_prob`` is provided
 **exactly and sparsely** for all four parameterizations (quadratic forms
 via SpMM / triangular solve; log-determinants from the factor diagonal),
 where the reference only offers a densifying log_prob on the Native class.
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from torchsparsegradutils_tpu.models import SparseMultivariateNormal
+    >>> from torchsparsegradutils_tpu.utils import rand_sparse_tri
+    >>> L = rand_sparse_tri(jax.random.PRNGKey(0), (8, 8), 20, upper=False,
+    ...                     well_conditioned=True)
+    >>> d = SparseMultivariateNormal(jnp.zeros(8), scale_tril=L)
+    >>> s = d.rsample(jax.random.PRNGKey(1), (5,))
+    >>> s.shape
+    (5, 8)
 """
 
 from __future__ import annotations

@@ -25,6 +25,16 @@ Notes vs the reference:
   use ``"tuple"`` (stable) or ``"padded"``.
 * patterns are assumed duplicate-free (use ``utils.coalesce`` first; the
   reference coalesces COO on the fly, which has no static-shape analogue).
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from torchsparsegradutils_tpu import sparse_logsumexp
+    >>> from torchsparsegradutils_tpu.utils import rand_sparse
+    >>> A = rand_sparse(jax.random.PRNGKey(0), (10, 8), 30)
+    >>> out = sparse_logsumexp(A, dim=1)
+    >>> ref = jax.scipy.special.logsumexp(A.todense(), axis=1)
+    >>> bool(jnp.allclose(out, ref, atol=1e-5))
+    True
 """
 
 from __future__ import annotations
@@ -96,6 +106,67 @@ def _validate_dims(ndim: int, dim) -> list:
     return sorted(normalised)
 
 
+def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str):
+    """DIA fast path: LSE as a row reduction over the (n, K) diagonal
+    value grid — one fused streaming pass, no segment scatters at all.
+    The column direction uses the transposed grid (static column shifts,
+    no value permutation).  Gradients flow through the differentiable
+    grid relayout (``values_to_grid``'s custom VJP)."""
+    import numpy as np
+
+    from ..kernels.dia import (_transpose_grid, build_dia_plan,
+                               values_to_grid)
+
+    if backend not in ("auto", "dia"):
+        return None
+    if A.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    rs, cs = A.row_sa(), A.col_sa()
+    if rs is None or cs is None or rs.arr.ndim != 1:
+        return None
+    n, m = A.mat_shape
+    dia = build_dia_plan(rs, cs, n, m)
+    if dia is None:
+        return None
+    grid = values_to_grid(dia, A.data)
+    valid = (dia.src_of_grid >= 0).reshape(n, dia.K)
+    if over_cols:
+        offsets_T, shift = _transpose_grid(dia)
+        grid = shift(grid)
+        # validity shifts exactly like the values
+        valid_T = np.zeros((m, dia.K), bool)
+        order = np.argsort(-dia.offsets)
+        for kT, k in enumerate(order):
+            off = int(dia.offsets[k])
+            lo_s = max(0, off)
+            hi_s = min(m, n + off)
+            if hi_s > lo_s:
+                valid_T[lo_s:hi_s, kT] = valid[lo_s - off:hi_s - off, k]
+        valid = valid_T
+        width = n
+        n_out = m
+    else:
+        width = m
+        n_out = n
+    vmask = jnp.asarray(valid)
+    cnt = jnp.asarray(valid.sum(axis=1))
+    X = jnp.where(vmask, grid, -jnp.inf)
+    Mv = jnp.max(X, axis=1)
+    nz = width - cnt                      # structural zeros per group
+    if include_zeros:
+        M = jnp.where(nz > 0, jnp.maximum(Mv, 0.0), Mv)
+    else:
+        M = Mv
+    Ms = jax.lax.stop_gradient(jnp.where(jnp.isfinite(M), M, 0.0))
+    S = jnp.where(vmask, jnp.exp(X - Ms[:, None]), 0.0).sum(axis=1)
+    if include_zeros:
+        S = S + jnp.where(nz > 0, nz.astype(S.dtype) * jnp.exp(-Ms), 0.0)
+    empty = S == 0.0
+    out = jnp.where(empty, -jnp.inf,
+                    Ms + jnp.log(jnp.where(empty, 1.0, S)))
+    return jnp.where(Mv == jnp.inf, jnp.inf, out)
+
+
 def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
     """Pallas chunked one-pass LSE for 2-D static patterns; None if the
     path does not apply."""
@@ -103,6 +174,11 @@ def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
     from ..kernels.chunk_lse import lse_fn, lse_fn_transposed
 
     if backend == "xla":
+        return None
+    out = _dia_lse(A, include_zeros, over_cols, backend)
+    if out is not None:
+        return out
+    if backend == "dia":
         return None
     if backend != "pallas" and not dispatch.on_tpu():
         return None
@@ -140,6 +216,25 @@ def sparse_logsumexp(A: Union[SparseCOO, SparseCSR],
     (0) cannot be reduced; ``dim`` selects from {1, 2}.
     Reference: ``sparse_logsumexp`` (sparse_logsumexp.py:246-351).
     """
+    from ..types import SparseCSC
+    if isinstance(A, SparseCSC):
+        # CSC is the transpose's CSR (reference reads CSC directly,
+        # sparse_logsumexp.py:76-102): reduce the swapped dimension and
+        # re-apply keepdim on the original axes
+        dims = _validate_dims(2, dim)
+        swapped = [1 - d for d in dims]
+        out = sparse_logsumexp(A.transpose_csr(),
+                               swapped if len(swapped) > 1 else swapped[0],
+                               keepdim=False, include_zeros=include_zeros,
+                               backend=backend)
+        if keepdim:
+            if len(dims) == 2:
+                out = jnp.reshape(out, (1, 1))
+            elif dims == [0]:
+                out = out[None, :]
+            else:
+                out = out[:, None]
+        return out
     if not is_sparse(A):
         raise TypeError("sparse_logsumexp: input must be SparseCOO/SparseCSR")
     if A.ndim not in (2, 3):
@@ -226,6 +321,18 @@ def sparse_bidir_logsumexp(A: Union[SparseCOO, SparseCSR],
     contributes to both outputs from one extraction (reference
     ``_bidir_2d``/``_bidir_batched``, :175-243).
     """
+    from ..types import SparseCSC
+    if isinstance(A, SparseCSC):
+        res = sparse_bidir_logsumexp(A.transpose_csr(), keepdim=keepdim,
+                                     include_zeros=include_zeros,
+                                     output_layout=output_layout,
+                                     backend=backend)
+        if output_layout == "padded":
+            return res[::-1]         # (col, row) of Aᵀ == (row, col) of A
+        c_t, r_t = res               # col-LSE of Aᵀ == row-LSE of A
+        if keepdim:                  # re-orient keepdim axes for A
+            return r_t.reshape(1, -1), c_t.reshape(-1, 1)
+        return r_t, c_t
     if not is_sparse(A):
         raise TypeError(
             "sparse_bidir_logsumexp: input must be SparseCOO/SparseCSR")

@@ -16,6 +16,18 @@ TPU-native rebuild of the reference's ``sparse_generic_lstsq``
 Like the reference, the backward calls the raw solvers (no recursion), so
 first-order gradients are supported; use ``sparse_generic_solve`` when
 higher-order gradients of a square system are needed.
+
+Example:
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> from torchsparsegradutils_tpu import SparseCOO, sparse_generic_lstsq
+    >>> rows = np.array([0, 1, 2, 3, 3]); cols = np.array([0, 1, 0, 1, 0])
+    >>> A = SparseCOO(rows, cols, jnp.array([2.0, 1.0, 1.0, 3.0, 0.5]),
+    ...               (4, 2))
+    >>> b = jnp.array([1.0, 2.0, 0.5, 1.5])
+    >>> x = sparse_generic_lstsq(A, b)
+    >>> ref = jnp.linalg.lstsq(A.todense(), b)[0]
+    >>> bool(jnp.allclose(x, ref, atol=1e-4))
+    True
 """
 
 from __future__ import annotations
@@ -37,8 +49,8 @@ __all__ = ["sparse_generic_lstsq"]
 def _default_lstsq():
     from ..solvers import lsmr
 
-    def solve(A, B):
-        return lsmr(A, B)[0]
+    def solve(A, B, **kw):
+        return lsmr(A, B, **kw)[0]
 
     return solve
 
@@ -47,17 +59,19 @@ def _default_lstsq():
 def _default_transpose_lstsq():
     from ..solvers import lsmr
 
-    def solve(A, B):
-        return lsmr(A.T, B)[0]
+    def solve(A, B, **kw):
+        return lsmr(A.T, B, **kw)[0]
 
     return solve
 
 
 @lru_cache(maxsize=None)
-def _lstsq_cv(lstsq: Callable, transpose_lstsq: Callable):
+def _lstsq_cv(lstsq: Callable, transpose_lstsq: Callable, fkw: tuple):
+    kwargs = dict(fkw)
+
     @jax.custom_vjp
     def f(A, B):
-        return lstsq(A, B)
+        return lstsq(A, B, **kwargs)
 
     def fwd(A, B):
         x = f(A, B)
@@ -68,14 +82,14 @@ def _lstsq_cv(lstsq: Callable, transpose_lstsq: Callable):
         B2 = B[:, None] if B.ndim == 1 else B
         x2 = x[:, None] if x.ndim == 1 else x
         g2 = g[:, None] if g.ndim == 1 else g
-        gradB = transpose_lstsq(A, g2)
+        gradB = transpose_lstsq(A, g2, **kwargs)
         if gradB.ndim == 1:
             gradB = gradB[:, None]
         # term 1: -gradB x^T at nnz
         u1 = -sddmm(A, gradB, x2).data
         # term 2: (B - A x)(A^+ gradB)^T at nnz
         mresid = B2 - sparse_mm(A, x2)
-        apgb = lstsq(A, gradB)
+        apgb = lstsq(A, gradB, **kwargs)
         if apgb.ndim == 1:
             apgb = apgb[:, None]
         u2 = sddmm(A, mresid, apgb).data
@@ -87,7 +101,8 @@ def _lstsq_cv(lstsq: Callable, transpose_lstsq: Callable):
 
 
 def sparse_generic_lstsq(A, B, lstsq: Optional[Callable] = None,
-                         transpose_lstsq: Optional[Callable] = None):
+                         transpose_lstsq: Optional[Callable] = None,
+                         **kwargs):
     """Solve ``min_x ‖A x − B‖₂²`` for tall full-column-rank sparse ``A``.
 
     Args:
@@ -97,6 +112,9 @@ def sparse_generic_lstsq(A, B, lstsq: Optional[Callable] = None,
       lstsq: ``lstsq(A, B) -> x``; default LSMR.
       transpose_lstsq: solver for the transpose problem ``(Aᵀ) Y = G`` used
         in backward; default LSMR on ``Aᵀ``.
+      **kwargs: forwarded to both solvers in forward and backward (must be
+        hashable, e.g. ``settings=LSMRSettings(...)``) — reference
+        contract (sparse_lstsq.py kwargs passthrough).
 
     Returns:
       ``x`` of shape ``(n,)`` / ``(n, k)``.
@@ -123,7 +141,8 @@ def sparse_generic_lstsq(A, B, lstsq: Optional[Callable] = None,
         lstsq = _default_lstsq()
     if transpose_lstsq is None:
         transpose_lstsq = _default_transpose_lstsq()
-    x = _lstsq_cv(lstsq, transpose_lstsq)(A, B)
+    from .common import freeze_kwargs
+    x = _lstsq_cv(lstsq, transpose_lstsq, freeze_kwargs(kwargs))(A, B)
     if B.ndim == 1 and x.ndim == 2 and x.shape[1] == 1:
         x = x[:, 0]
     elif B.ndim == 2 and x.ndim == 1:

@@ -18,6 +18,18 @@ TPU-native rebuild of the reference's ``sparse_generic_solve``
 ``transpose_solve(A, G, **kwargs)`` must solve ``Aᵀ Y = G`` (the matrix is
 passed untransposed, matching the reference's contract).  The default
 MINRES assumes symmetry, so ``transpose_solve = solve``.
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from torchsparsegradutils_tpu import sparse_generic_solve
+    >>> from torchsparsegradutils_tpu.solvers import linear_cg, LinearCGSettings
+    >>> from torchsparsegradutils_tpu.utils import make_spd_sparse
+    >>> A = make_spd_sparse(jax.random.PRNGKey(0), 16, 16 + 2 * 20)
+    >>> b = jnp.ones((16,))
+    >>> x = sparse_generic_solve(A, b, solve=linear_cg,
+    ...                          settings=LinearCGSettings(max_iter=100))
+    >>> bool(jnp.allclose(A.todense() @ x, b, atol=1e-3))
+    True
 """
 
 from __future__ import annotations

@@ -26,6 +26,19 @@ scatter-adds on TPU:
 Dynamic patterns (traced indices) and degree-skewed patterns fall back to
 gather + ``segment_sum``.  Batching is ``jax.vmap`` over leading dims —
 NOT the reference's block-diagonalisation (sparse_matmul.py:151-153).
+
+Example:
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> from torchsparsegradutils_tpu import SparseCOO, sparse_mm
+    >>> A = SparseCOO(np.array([0, 0, 1]), np.array([0, 2, 1]),
+    ...               jnp.array([1.0, 2.0, 3.0]), (2, 3))
+    >>> B = jnp.ones((3, 2))
+    >>> out = sparse_mm(A, B)
+    >>> bool(jnp.allclose(out, A.todense() @ B))
+    True
+    >>> g = jax.grad(lambda d: sparse_mm(A.with_data(d), B).sum())(A.data)
+    >>> g.shape         # gradient only at the 3 stored nonzeros
+    (3,)
 """
 
 from __future__ import annotations

@@ -28,6 +28,17 @@ dense triangular solves do.
 Dynamic-pattern containers (traced indices) cannot be scheduled host-side
 and fall back to a densified ``solve_triangular`` (O(n²) memory — fine for
 small n, warned about otherwise).
+
+Example:
+    >>> import jax, jax.numpy as jnp
+    >>> from torchsparsegradutils_tpu import sparse_triangular_solve
+    >>> from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
+    >>> A = stencil_sparse(jax.random.PRNGKey(0), (32, 32), [-4, -1, 0],
+    ...                    well_conditioned=True)
+    >>> B = jnp.ones((32, 2))
+    >>> x = sparse_triangular_solve(A, B, upper=False)
+    >>> bool(jnp.allclose(A.todense() @ x, B, atol=1e-4))
+    True
 """
 
 from __future__ import annotations
@@ -160,7 +171,10 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
         g = jnp.take(x, cols_i.reshape(-1), axis=0).reshape(nb, K, p)
         contrib = jnp.einsum("rk,rkp->rp", vals_i, g)
         xb = Dinv_i @ (B_i - contrib)
-        x = jax.lax.dynamic_update_slice(x, xb, (off_i, 0))
+        # pin the literal index dtype: under x64 a python 0 weak-promotes
+        # to int64 and dynamic_update_slice rejects mixed index dtypes
+        x = jax.lax.dynamic_update_slice(x, xb,
+                                         (off_i, jnp.zeros((), off_i.dtype)))
         return x, None
 
     x0 = jnp.zeros((n_pad, p), dtype)
@@ -173,8 +187,56 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
 # forward dispatch (2-D core)
 # --------------------------------------------------------------------------
 
+def _tri_dia_forward(A, B, *, upper: bool, unit: bool, transpose: bool):
+    """Banded fast path: single-kernel rolling-window back-substitution
+    (kernels/dia_tri.py).  Upper and transpose solves reduce to the lower
+    core by grid-level shifts/flips — no value permutation.  Returns None
+    when the pattern is not DIA / band too wide."""
+    import numpy as np
+
+    from ..kernels.dia import _transpose_grid, build_dia_plan, values_to_grid
+    from ..kernels.dia_tri import tri_dia_core
+
+    if B.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    rs, cs = A.row_sa(), A.col_sa()
+    if rs is None or cs is None or rs.arr.ndim != 1:
+        return None
+    n = A.shape[0]
+    dia = build_dia_plan(rs, cs, n, n)
+    if dia is None:
+        return None
+    gridv = values_to_grid(dia, A.data)
+    offsets = dia.offsets
+    eff_upper = upper
+    if transpose:
+        offsets_T, shift = _transpose_grid(dia)
+        gridv = shift(gridv)
+        offsets = offsets_T
+        eff_upper = not upper
+    if eff_upper:
+        # full index reversal turns upper into lower: grid flips on both
+        # axes, offsets negate (and re-sort = reverse)
+        gridv = gridv[::-1, ::-1]
+        offsets = np.sort(-offsets)
+        B = B[::-1]
+    out = tri_dia_core(offsets, gridv, B, unit=unit)
+    if out is None:
+        return None
+    return out[::-1] if eff_upper else out
+
+
 def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
                     algorithm: str, block_size: Optional[int]):
+    if algorithm in ("auto", "dia"):
+        out = _tri_dia_forward(A, B, upper=upper, unit=unit,
+                               transpose=transpose)
+        if out is not None:
+            return out
+    if algorithm == "dia":
+        raise ValueError(
+            "sparse_triangular_solve: algorithm='dia' requires a "
+            "diagonal-structured (banded) static pattern")
     if transpose:
         # Aᵀ x = B: solve on the transposed pattern with the flipped triangle
         return _tri_forward_2d(A.T, B, upper=not upper, unit=unit,
@@ -185,9 +247,9 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         A.pattern_static or not isinstance(
             A.rows() if isinstance(A, SparseCOO) else A.indptr_arr(),
             jax.core.Tracer))
-    if algorithm not in ("auto", "dense", "block"):
+    if algorithm not in ("auto", "dense", "block", "dia"):
         raise ValueError(f"unknown algorithm {algorithm!r}; expected "
-                         "'auto', 'block' or 'dense'")
+                         "'auto', 'dia', 'block' or 'dense'")
     if use_dense:
         if algorithm != "dense" and n > 2048:
             warnings.warn(
@@ -268,7 +330,9 @@ def sparse_triangular_solve(A: Union[SparseCOO, SparseCSR], B, *,
         sparse_solve.py:232-233 — here the static pattern is checked
         eagerly).
       transpose: solve ``Aᵀ x = B`` instead.
-      algorithm: "auto" | "block" (blocked back-substitution) | "dense".
+      algorithm: "auto" | "dia" (single-kernel rolling-window solve for
+        banded patterns; auto prefers it) | "block" (scan of blocked
+        back-substitution steps) | "dense".
       block_size: row-block size for the block algorithm (default ≤128).
 
     Gradients w.r.t. A are returned only at its stored nonzeros.

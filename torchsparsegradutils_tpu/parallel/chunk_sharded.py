@@ -31,7 +31,7 @@ __all__ = ["ShardedChunkPlan", "build_sharded_chunk_plan",
            "sharded_chunk_spmm"]
 
 
-@dataclass
+@dataclass(eq=False)          # id-hashable: usable as a nondiff VJP arg
 class ShardedChunkPlan:
     """Per-shard chunk tables padded to common shapes (leading shard dim)."""
     n: int
@@ -46,6 +46,8 @@ class ShardedChunkPlan:
     seg_rows: np.ndarray   # (S, nchunks, W) local row per rank (sentinel rps)
     gather_idx: np.ndarray  # (S, nchunks*C) B-row per entry (0 on padding)
     entry_sel: np.ndarray  # (S, nchunks*C) index into data (nnz on padding)
+    entry_rows: np.ndarray  # (S, nchunks*C) local row per entry (rps on pad)
+    nnz: int = 0
 
 
 def build_sharded_chunk_plan(A, n_shards: int, C: int = 512,
@@ -74,6 +76,7 @@ def build_sharded_chunk_plan(A, n_shards: int, C: int = 512,
     seg = np.full((n_shards, nchunks, C), rps, np.int32)  # W trimmed later
     gidx = np.zeros((n_shards, npad), np.int32)
     esel = np.full((n_shards, npad), nnz, np.int32)
+    erows = np.full((n_shards, npad), rps, np.int32)
     W_max = 8
     for s in range(n_shards):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
@@ -89,22 +92,32 @@ def build_sharded_chunk_plan(A, n_shards: int, C: int = 512,
         seg[s, :, :seg_s.shape[1]] = seg_s
         gidx[s, :k] = cols[lo:hi]
         esel[s, :k] = np.arange(lo, hi, dtype=np.int32)
+        erows[s, :k] = (rows[lo:hi] - s * rps).astype(np.int32)
     W = W_max
     return ShardedChunkPlan(
         n=n, m=m, n_shards=n_shards, rows_per_shard=rps, C=C, SB=SB,
         nchunks=nchunks, W=W, lr=lr,
         seg_rows=np.ascontiguousarray(seg[:, :, :W]), gather_idx=gidx,
-        entry_sel=esel)
+        entry_sel=esel, entry_rows=erows, nnz=nnz)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
 def sharded_chunk_spmm(plan: ShardedChunkPlan, data, B, mesh: Mesh,
                        axis: str):
     """``A @ B`` with A row-sharded over ``axis`` and each shard's SpMM
     executed by the Pallas chunk kernel.  B is replicated; the output rows
-    are sharded over ``axis``.  Forward-only building block (wrap with the
-    library's custom-VJP ops for gradients, or differentiate through —
-    the kernel sits behind the same fused-backward machinery when used via
-    ``sparse_mm``; this entry point targets inference/forward pipelines)."""
+    are sharded over ``axis``.
+
+    Differentiable: the custom VJP computes the sparse gradient of A
+    *only at each shard's stored nonzeros* (local SDDMM per shard,
+    scattered back to the canonical nnz order) and
+    ``gradB = Σ_shards Aᵀ_s G_s`` via an explicit ``psum`` over ``axis``
+    — the sharded mirror of ``sparse_mm``'s backward contract."""
+    return _sharded_chunk_fwd(plan, data, B, mesh, axis)
+
+
+def _sharded_chunk_fwd(plan: ShardedChunkPlan, data, B, mesh: Mesh,
+                       axis: str):
     C, SB, W, nch = plan.C, plan.SB, plan.W, plan.nchunks
     rps = plan.rows_per_shard
     p = B.shape[1]
@@ -155,3 +168,44 @@ def sharded_chunk_spmm(plan: ShardedChunkPlan, data, B, mesh: Mesh,
     out = run(as_device_array(plan.lr), as_device_array(plan.seg_rows),
               as_device_array(plan.gather_idx), vals_sh, B)
     return out.reshape(plan.n_shards * rps, p_pad)[:plan.n, :p]
+
+
+def _scs_fwd(plan, data, B, mesh, axis):
+    return _sharded_chunk_fwd(plan, data, B, mesh, axis), (data, B)
+
+
+def _scs_bwd(plan, mesh, axis, res, g):
+    data, B = res
+    rps, m, S = plan.rows_per_shard, plan.m, plan.n_shards
+    p = B.shape[1]
+    g_pad = jnp.zeros((S * rps, p), g.dtype).at[:plan.n, :].set(
+        g[:, :p])
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis), P(), P()),
+             out_specs=(P(axis), P()))
+    def run_bwd(gidx, esel, erows, data, g_pad):
+        gidx_l, esel_l, erows_l = gidx[0], esel[0], erows[0]
+        shard = jax.lax.axis_index(axis)
+        g_loc = jax.lax.dynamic_slice_in_dim(g_pad, shard * rps, rps)
+        g1 = jnp.concatenate([g_loc, jnp.zeros((1, p), g_loc.dtype)])
+        data_ext = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+        vals = jnp.take(data_ext, esel_l)
+        ge = jnp.take(g1, erows_l, axis=0)            # (npad, p)
+        # local SDDMM at the shard's nonzeros
+        dv = (ge * jnp.take(B, gidx_l, axis=0)).sum(-1)
+        # local A^T g, reduced across shards
+        dB = jax.ops.segment_sum(vals[:, None] * ge, gidx_l,
+                                 num_segments=m)
+        return dv[None], jax.lax.psum(dB, axis)
+
+    dv, dB = run_bwd(as_device_array(plan.gather_idx),
+                     as_device_array(plan.entry_sel),
+                     as_device_array(plan.entry_rows), data, g_pad)
+    d_data = jnp.zeros((plan.nnz + 1,), data.dtype).at[
+        as_device_array(plan.entry_sel).reshape(-1)].add(
+        dv.reshape(-1))[:plan.nnz]
+    return d_data, dB
+
+
+sharded_chunk_spmm.defvjp(_scs_fwd, _scs_bwd)

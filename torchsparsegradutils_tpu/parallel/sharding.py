@@ -32,7 +32,32 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..types import is_sparse
 
-__all__ = ["RowShardedMatrix", "shard_rows", "sharded_sparse_mm"]
+__all__ = ["RowShardedMatrix", "local_shard_spmm", "shard_rows",
+           "sharded_sparse_mm"]
+
+
+def local_shard_spmm(local_rows, cols, data_local, B, rps: int):
+    """This device's row-slab SpMM, for use *inside* ``shard_map``.
+
+    Builds the slab as a dynamic-pattern container and runs the library's
+    ``sparse_mm`` — so the multi-chip path and the single-chip op stack
+    are one system: the custom VJP returns the sparse gradient at the
+    slab's stored nonzeros and the ``gradB = Aᵀ_loc G`` term, whose
+    cross-shard reduction the enclosing ``shard_map`` transposes into a
+    ``psum`` automatically.
+
+    Args:
+      local_rows / cols / data_local: (nnz_local,) traced slab arrays
+        (padding entries must carry zero values).
+      B: replicated dense ``(m, p)``.
+      rps: rows per shard (static).
+    """
+    from ..ops.spmm import sparse_mm
+    from ..types import SparseCOO
+
+    A_loc = SparseCOO(local_rows, cols, data_local, (rps, B.shape[0]),
+                      pattern_static=False)
+    return sparse_mm(A_loc, B)
 
 
 @dataclass
@@ -46,6 +71,7 @@ class RowShardedMatrix:
     shape: Tuple[int, int]
     rows_per_shard: int
     n_shards: int
+    mask: np.ndarray = None  # (S, nnzs) False on padding entries
 
     @property
     def padded_rows(self) -> int:
@@ -88,7 +114,7 @@ def shard_rows(A, n_shards: int) -> RowShardedMatrix:
                               ).reshape(n_shards, nnzs), 0.0)
     return RowShardedMatrix(local_rows=local_rows, cols=g_cols, data=data,
                             shape=(n, m), rows_per_shard=rps,
-                            n_shards=n_shards)
+                            n_shards=n_shards, mask=mask)
 
 
 def sharded_sparse_mm(M: RowShardedMatrix, B, mesh: Mesh, axis: str,
@@ -102,13 +128,18 @@ def sharded_sparse_mm(M: RowShardedMatrix, B, mesh: Mesh, axis: str,
     rps = M.rows_per_shard
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axis), P(axis), P(axis), P()),
-             out_specs=P(axis))
-    def run(local_rows, cols, data, B):
+             in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+             out_specs=P(axis), check_vma=False)  # custom-VJP inside: the
+    # replication checker cannot see through it (grad values are covered
+    # by tests/test_parallel.py against the dense reference)
+    def run(local_rows, cols, data, mask, B):
         lr, c, d = local_rows[0], cols[0], data[0]
-        prod = d[:, None] * jnp.take(B, c, axis=0)
-        return jax.ops.segment_sum(prod, lr, num_segments=rps)[None]
+        # mask padding entries so they carry no value and receive no grad
+        d = jnp.where(mask[0], d, 0.0)
+        return local_shard_spmm(lr, c, d, B, rps)[None]
 
-    out = run(jnp.asarray(M.local_rows), jnp.asarray(M.cols), M.data, B)
+    mask = (np.ones_like(M.local_rows, bool) if M.mask is None else M.mask)
+    out = run(jnp.asarray(M.local_rows), jnp.asarray(M.cols), M.data,
+              jnp.asarray(mask), B)
     out = out.reshape(M.padded_rows, -1)
     return out if out_padded else out[:M.shape[0]]

@@ -124,9 +124,11 @@ def make_train_step(enc: PairwiseEncoder, mesh: Mesh, lr: float = 1e-2):
         D = jnp.exp(params["log_diag"])
         delta = x_local - params["loc"]            # (S_l, n)
         E = delta.T                                # (n, S_l)
-        # local slab of (L^T) @ E: rows [shard*rps, ...)
-        prod = d_[:, None] * jnp.take(E, c_, axis=0)
-        y_local = jax.ops.segment_sum(prod, lr_, num_segments=rps)
+        # local slab of (L^T) @ E via the library op (custom-VJP sparse
+        # gradient at the slab's nonzeros) — the multi-chip path consumes
+        # the same op stack as single-chip code
+        from .sharding import local_shard_spmm
+        y_local = local_shard_spmm(lr_, c_, d_, E, rps)
         # add the identity term (I + L)^T: local rows of E
         E_pad = jnp.zeros((n_pad, E.shape[1]), E.dtype).at[:n].set(E)
         E_slab = jax.lax.dynamic_slice_in_dim(E_pad, shard_id * rps, rps)
@@ -142,7 +144,8 @@ def make_train_step(enc: PairwiseEncoder, mesh: Mesh, lr: float = 1e-2):
         return total / n_local_samples / dp
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P("dp")), out_specs=(P(), P()))
+             in_specs=(P(), P("dp")), out_specs=(P(), P()),
+             check_vma=False)  # library custom-VJP ops inside
     def loss_and_grads(params, x_local):
         l, g = jax.value_and_grad(nll)(params, x_local, x_local.shape[0])
         # params are replicated; grads already identical across dp (psum'd

@@ -74,12 +74,14 @@ def as_matvec(A) -> Callable:
 
 
 def as_rmatvec(A) -> Callable:
-    """Transpose matvec for a matrix-like (needed by LSMR)."""
+    """Adjoint matvec for a matrix-like (needed by LSMR): ``Aᵀ`` for real
+    operators, ``Aᴴ`` for complex (reference lsmr.py:167-171)."""
     if is_sparse(A):
         mv_dia = _dia_matvec(A, transpose=True)
-        if mv_dia is not None:
-            return mv_dia
-        return as_matvec(A.T)
+        base = mv_dia if mv_dia is not None else as_matvec(A.T)
+        if jnp.issubdtype(A.dtype, jnp.complexfloating):
+            return lambda x: jnp.conj(base(jnp.conj(x)))
+        return base
     if callable(A) and not isinstance(A, jnp.ndarray):
         raise ValueError(
             "a callable matmul closure needs an explicit transpose closure "
@@ -99,6 +101,9 @@ def ensure_matrix(b):
 
 
 def col_norms(x):
+    """Real column 2-norms (complex-safe: |x|² via conjugation)."""
+    if jnp.iscomplexobj(x):
+        return jnp.sqrt(jnp.sum((x * jnp.conj(x)).real, axis=0))
     return jnp.sqrt(jnp.sum(x * x, axis=0))
 
 

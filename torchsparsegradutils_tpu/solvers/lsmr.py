@@ -64,7 +64,10 @@ def lsmr(A, b, *, rmatvec: Optional[Callable] = None,
     b2, was_vec = ensure_matrix(b)
     n, k = b2.shape
     dtype = b2.dtype
-    damp = jnp.asarray(settings.damp, dtype)
+    # complex systems (reference lsmr.py:167-171): vectors stay complex,
+    # all Golub-Kahan scalar recurrences live in the matching real dtype
+    rdtype = jnp.zeros((), dtype).real.dtype
+    damp = jnp.asarray(settings.damp, rdtype)
 
     # infer m from one rmatvec application
     v_probe = rmv(jnp.zeros((n, k), dtype))
@@ -86,23 +89,23 @@ def lsmr(A, b, *, rmatvec: Optional[Callable] = None,
 
     zetabar = alpha * beta
     alphabar = alpha
-    rho = jnp.ones((k,), dtype)
-    rhobar = jnp.ones((k,), dtype)
-    cbar = jnp.ones((k,), dtype)
-    sbar = jnp.zeros((k,), dtype)
+    rho = jnp.ones((k,), rdtype)
+    rhobar = jnp.ones((k,), rdtype)
+    cbar = jnp.ones((k,), rdtype)
+    sbar = jnp.zeros((k,), rdtype)
     h = v
     hbar = jnp.zeros((m, k), dtype)
     # ||r|| estimation state
     betadd = beta
-    betad = jnp.zeros((k,), dtype)
-    rhodold = jnp.ones((k,), dtype)
-    tautildeold = jnp.zeros((k,), dtype)
-    thetatilde = jnp.zeros((k,), dtype)
-    zeta = jnp.zeros((k,), dtype)
-    d = jnp.zeros((k,), dtype)
+    betad = jnp.zeros((k,), rdtype)
+    rhodold = jnp.ones((k,), rdtype)
+    tautildeold = jnp.zeros((k,), rdtype)
+    thetatilde = jnp.zeros((k,), rdtype)
+    zeta = jnp.zeros((k,), rdtype)
+    d = jnp.zeros((k,), rdtype)
     normA2 = alpha * alpha
     maxrbar = jnp.zeros((k,), dtype)
-    minrbar = jnp.full((k,), 1e30, dtype)
+    minrbar = jnp.full((k,), 1e30, rdtype)
     normr = beta
 
     already_done = zetabar == 0  # b (or residual at x0) is zero
@@ -115,12 +118,12 @@ def lsmr(A, b, *, rmatvec: Optional[Callable] = None,
          normA2, maxrbar, minrbar, normr, itn) = st
         normA = jnp.sqrt(normA2)
         condA = jnp.maximum(maxrbar, rho) / jnp.maximum(
-            jnp.minimum(minrbar, rho), jnp.finfo(dtype).tiny)
+            jnp.minimum(minrbar, rho), jnp.finfo(rdtype).tiny)
         normar = jnp.abs(zetabar)
         normx = col_norms(x)
         safe_normb = jnp.where(normb > 0, normb, 1.0)
         test1 = normr / safe_normb
-        test2 = normar / jnp.maximum(normA * normr, jnp.finfo(dtype).tiny)
+        test2 = normar / jnp.maximum(normA * normr, jnp.finfo(rdtype).tiny)
         test3 = 1.0 / condA
         rtol = settings.btol + settings.atol * normA * normx / safe_normb
         return ((test1 <= rtol) | (test2 <= settings.atol)

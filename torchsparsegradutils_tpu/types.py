@@ -41,6 +41,7 @@ from jax.tree_util import register_pytree_node_class
 
 __all__ = [
     "SparseCOO",
+    "SparseCSC",
     "SparseCSR",
     "StaticArray",
     "is_sparse",
@@ -613,3 +614,63 @@ class SparseCSR(_SparseBase):
 
     def index_dtype(self):
         return _unwrap(self.indices).dtype
+
+
+class SparseCSC:
+    """Compressed-sparse-column matrix (2-D).
+
+    Parity with the reference's CSC acceptance in ``sparse_logsumexp``
+    (sparse_logsumexp.py:76-102 reads CSC index arrays directly).  Stored
+    internally as the CSR of the transpose — on TPU every op runs on
+    row-major streams, so a CSC matrix *is* its transpose's CSR plus a
+    dimension swap at the API boundary.
+
+    Attributes:
+      indptr: ``(m+1,)`` column pointers.
+      indices: ``(nnz,)`` row indices (sorted within each column).
+      data: ``(nnz,)`` values in column-major order.
+      shape: ``(n, m)``.
+    """
+
+    def __init__(self, indptr, indices, data, shape, *,
+                 pattern_static: bool = True, index_dtype=None):
+        shape = tuple(int(s) for s in shape)
+        if len(shape) != 2:
+            raise ValueError("SparseCSC supports 2-D matrices only")
+        self._t = SparseCSR(indptr, indices, data, (shape[1], shape[0]),
+                            pattern_static=pattern_static,
+                            index_dtype=index_dtype)
+        self.shape = shape
+
+    @property
+    def data(self):
+        return self._t.data
+
+    @property
+    def dtype(self):
+        return self._t.dtype
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def nnz(self) -> int:
+        return self._t.nnz
+
+    @property
+    def layout(self) -> str:
+        return "csc"
+
+    def transpose_csr(self) -> "SparseCSR":
+        """The transpose as a CSR container (zero-copy view)."""
+        return self._t
+
+    def with_data(self, data) -> "SparseCSC":
+        obj = object.__new__(SparseCSC)
+        obj._t = self._t.with_data(data)
+        obj.shape = self.shape
+        return obj
+
+    def todense(self):
+        return self._t.todense().T

@@ -16,6 +16,13 @@ Differences by design (TPU-first):
   (reference relies on torch global RNG state).
 * Batched generation returns one container with a leading batch dim
   (shared or per-element patterns), not a list.
+
+Example:
+    >>> import jax
+    >>> from torchsparsegradutils_tpu.utils import rand_sparse
+    >>> A = rand_sparse(jax.random.PRNGKey(0), (6, 5), 12, layout="csr")
+    >>> A.nnz, A.shape, A.layout
+    (12, (6, 5), 'csr')
 """
 
 from __future__ import annotations
