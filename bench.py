@@ -52,9 +52,9 @@ def chain_bench(step, x0, rep=10, n_meas=5):
 
     @jax.jit
     def many(x):
-        for _ in range(rep):
-            x = step(x)
-        return x
+        # fori_loop, not an unrolled chain: one traced copy of the step,
+        # so compile time does not scale with rep
+        return jax.lax.fori_loop(0, rep, lambda i, y: step(y), x)
 
     r = many(x0)
     jax.block_until_ready(r)
@@ -77,12 +77,17 @@ def measure_pattern(A, B, G, label):
     import jax
     import jax.numpy as jnp
     from torchsparsegradutils_tpu import sparse_mm
+    from torchsparsegradutils_tpu.solvers.common import as_matvec
 
     eps = jnp.float32(1e-12)
 
+    # forward: fixed-operator conditions (repeated products with one
+    # matrix, like the reference's harness) — as_matvec hoists the
+    # operator's execution plan out of the chain, values stay traced
+    mv = as_matvec(A)
+
     def fwd_step(b):
-        out = sparse_mm(A, b)
-        return b + eps * out           # dependency: next step uses out
+        return b + eps * mv(b)         # dependency: next step uses out
 
     fwd_ms = chain_bench(fwd_step, B)
 

@@ -100,9 +100,9 @@ def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
     try:
         @jax.jit
         def many(x):
-            for _ in range(rep):
-                x = step(x)
-            return x
+            # fori_loop, not an unrolled chain: one traced copy of the
+            # step, so compile time does not scale with rep
+            return jax.lax.fori_loop(0, rep, lambda i, y: step(y), x)
 
         out = many(x0)
         jax.block_until_ready(out)

@@ -226,7 +226,7 @@ def _spmm_core_pallas(offsets: np.ndarray, n: int, m: int, grid_v, B):
     K = len(offsets)
     Bp, p = _pad_lanes(B)
     p_pad = Bp.shape[1]
-    t = _tiling(offsets, K, n, LANE, n_halos=1)
+    t = _tiling(offsets, K, n, LANE, n_halos=2)   # double-buffered halo
     if t is None:
         return None
     R_T, ntiles, s_al, s_rel, lo, span_pad = t
@@ -238,16 +238,33 @@ def _spmm_core_pallas(offsets: np.ndarray, n: int, m: int, grid_v, B):
     jt = p_pad // LANE
     W = R_T + span_pad
 
-    def kernel(s_ref, v_ref, b_hbm, out_ref, halo, acc, sem):
+    def kernel(s_ref, v_ref, b_hbm, out_ref, halo, acc, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            b_hbm.at[pl.ds(i * R_T + s_al, W), pl.ds(j * LANE, LANE)],
-            halo, sem)
-        dma.start()
+        step = i * jt + j
+        nsteps = pl.num_programs(0) * jt
+        slot = jax.lax.rem(step, 2)
+        nxt = jax.lax.rem(step + 1, 2)
+
+        def dma(st, buf):
+            ii = st // jt
+            jj = jax.lax.rem(st, jt)
+            return pltpu.make_async_copy(
+                b_hbm.at[pl.ds(ii * R_T + s_al, W),
+                         pl.ds(jj * LANE, LANE)],
+                halo.at[buf], sems.at[buf])
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(step + 1 < nsteps)
+        def _():
+            dma(step + 1, nxt).start()   # overlap next window with compute
+
         acc[...] = jnp.zeros((R_T, LANE), jnp.float32)
         v = v_ref[...].astype(jnp.float32)
-        dma.wait()
+        dma(step, slot).wait()
 
         # fori_loop with *dynamic* slices: one live slice buffer, where an
         # unrolled SSA chain would stack K shifted copies (VMEM OOM at
@@ -257,7 +274,7 @@ def _spmm_core_pallas(offsets: np.ndarray, n: int, m: int, grid_v, B):
             vcol = jnp.take_along_axis(
                 v, jnp.full((R_T, K), k, jnp.int32), axis=1)[:, :1]
             acc[...] = acc[...] + vcol * halo[
-                pl.ds(s_ref[k], R_T), :].astype(jnp.float32)
+                slot, pl.ds(s_ref[k], R_T), :].astype(jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, K, body, 0)
@@ -269,9 +286,9 @@ def _spmm_core_pallas(offsets: np.ndarray, n: int, m: int, grid_v, B):
         in_specs=[pl.BlockSpec((R_T, K), lambda i, j, s: (i, 0)),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((R_T, LANE), lambda i, j, s: (i, j)),
-        scratch_shapes=[pltpu.VMEM((W, LANE), B.dtype),
+        scratch_shapes=[pltpu.VMEM((2, W, LANE), B.dtype),
                         pltpu.VMEM((R_T, LANE), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     out = pl.pallas_call(
         kernel,
