@@ -3,16 +3,24 @@
 The primitive behind DIA/ELL value-grid (un)packing: ``dst[d] =
 src[map[d]]`` (or 0 where ``map[d] < 0``) for a *monotone* map — one
 where consecutive destination slots read from a bounded sliding source
-window.  Per destination tile (2048 slots) the relevant source window is
-DMA'd into VMEM (double-buffered against compute) and the in-window
-gather decomposes into per-128-slab lane gathers + selects, so the whole
-relayout runs at HBM streaming speed.
+window.  Per destination tile the relevant source window is DMA'd into
+VMEM (double-buffered against compute) and the in-window gather runs in
+registers, so the whole relayout moves at streaming speed.
+
+Two kernel modes, picked per plan:
+
+* ``z8`` (preferred): per 8 destination rows, all sources live in a
+  handful of candidate ``(8, 128)`` window slices (the map is
+  near-linear, so the in-window source row tracks the destination row up
+  to a tiny local spread Z).  Each sub-chunk costs Z slice reads +
+  Z lane gathers + selects — per-slot work independent of tile size, so
+  tiles can be large and the ~3 µs per-grid-step overhead amortises.
+* ``drift`` (fallback for jittery maps): loop over the tile-wide drift
+  range D with sliding ``(TR, 128)`` operand slices.
 
 Why this exists: XLA lowers per-nonzero scalar scatters/gathers at
 ~25 ms for 3M elements on a v5e (measured; see CLAUDE.md invariants),
-which would dominate every DIA/ELL op.  This kernel does the same
-relayout in ~0.2 ms because every memory access is a contiguous DMA or
-an in-register lane shuffle.
+which would dominate every DIA/ELL op.
 
 Reference counterpart: the value-layout surgery the reference does with
 ``Tensor.scatter_``/``index_select`` (e.g. utils/utils.py:236-346); here
@@ -23,6 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import lru_cache
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,34 +41,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import StaticArray, as_device_array
 
-TR_OPTIONS = (64, 32, 16)   # destination sublane rows per grid step
-D_CAP = 32           # max drift steps per tile (see below)
-PADF = D_CAP         # front zero-pad rows on src (compressive maps)
-# Because the map is monotone and near-linear, destination row i of a
-# tile reads from window row i + delta with a *small*, slowly drifting
-# delta (the hole/expansion drift across one tile plus jitter).  The
-# kernel therefore loops over delta in [0, D) with a sliding (TR, 128)
-# operand slice — D is typically 2-12 — instead of testing every source
-# slab (which scales with the tile's whole source span and made the
-# kernel compute-bound: ~5.7 ms at 3M nnz, vs ~1 ms this way).
+Z_CAP = 14           # max candidate slices per 8-row sub-chunk (z8 mode):
+#                      8 dest rows draw from ~8/ratio source slabs + jitter
+ZTR = 256            # destination rows per grid step in z8 mode
+DRIFT_TR_OPTIONS = (64, 32, 16)  # tile heights for the drift fallback
+D_CAP = 32           # max drift steps per tile (drift mode)
+PADF = max(D_CAP, Z_CAP)  # front zero-pad rows on src (compressive maps)
 
 
 @dataclass(frozen=True)
 class WindowPlan:
-    """Static relayout plan.
+    """Static relayout plan (see module docstring for the two modes).
 
-    For destination slot d in tile t at in-tile row i = (d % TILE)//128:
-    ``dst[d] = src[(w_rows[t] + i + loc[d]//128) * 128 + loc[d] % 128]``
-    (or 0 when ``loc[d] < 0``) — i.e. loc packs (delta, lane).
+    Common: destination tiles of TR rows x 128 lanes; tile t's source
+    window starts at padded-src row ``w_rows[t]`` and spans WR rows.
+
+    z8 mode: for destination sub-chunk c (8 rows), sources live in window
+    rows ``[qb[c] + z, qb[c] + z + 8)`` for z in [0, Z); ``loc`` packs
+    ``z * 128 + lane`` (or -1 for "write zero").
+
+    drift mode: destination row i reads window row ``i + loc[d]//128``;
+    ``loc`` packs ``delta * 128 + lane``.
     """
+    mode: str            # "z8" | "drift"
     dst_size: int
     dst_pad: int         # multiple of TR*128
     src_size: int
     src_pad: int         # elements the caller must pad src to (mult of 128)
-    D: int               # drift steps per tile (window = TR + D rows)
+    D: int               # window extra rows (drift span; z8: qb span + Z)
     TR: int              # destination rows per tile
+    Z: int               # z8: candidate slices per sub-chunk (else 0)
     w_rows: np.ndarray   # (ntiles,) int32 window start in 128-element rows
-    loc: np.ndarray      # (dst_pad,) int32 delta*128 + lane, -1 => 0
+    qb: Optional[np.ndarray]  # (ntiles*TR//8,) int32 sub-chunk slice base
+    loc: np.ndarray      # (dst_pad,) int32 packed index, -1 => 0
 
     @property
     def ntiles(self) -> int:
@@ -76,33 +90,91 @@ def build_window_plan(src_of_dst: np.ndarray, dst_size: int,
         (non-decreasing) — that is what makes windows local.
       dst_size / src_size: logical sizes.
 
-    Returns None when every tile height's drift exceeds ``D_CAP``
-    (degenerate skew) — callers fall back to the XLA scatter path.
+    Returns None when the map is too skewed for both modes — callers
+    fall back to the XLA scatter path.
     """
     src_of_dst = np.asarray(src_of_dst, np.int64)
     assert src_of_dst.shape == (dst_size,)
-    for TR in TR_OPTIONS:
-        plan = _try_build(src_of_dst, dst_size, src_size, TR)
+    plan = _try_build_z8(src_of_dst, dst_size, src_size)
+    if plan is not None:
+        return plan
+    for TR in DRIFT_TR_OPTIONS:
+        plan = _try_build_drift(src_of_dst, dst_size, src_size, TR)
         if plan is not None:
             return plan
     return None
 
 
-def _try_build(src_of_dst: np.ndarray, dst_size: int, src_size: int,
-               TR: int) -> WindowPlan | None:
-    TILE = TR * 128
+def _pad_map(src_of_dst, dst_size, TILE):
     dst_pad = -(-dst_size // TILE) * TILE
     m = np.full(dst_pad, -1, np.int64)
     m[:dst_size] = src_of_dst
-    slab = m >> 7                                   # src row; -1 -> -1
-    row = (np.arange(dst_pad) % TILE) // 128        # in-tile dest row
+    return m, dst_pad
+
+
+def _carry_empty(base, any_valid):
+    for t in range(len(base)):
+        if not any_valid[t]:
+            base[t] = base[t - 1] if t else 0
+    return base
+
+
+def _try_build_z8(src_of_dst, dst_size, src_size) -> WindowPlan | None:
+    TR = ZTR
+    TILE = TR * 128
+    m, dst_pad = _pad_map(src_of_dst, dst_size, TILE)
+    slab = m >> 7                                    # src row; -1 -> -1
+    valid = m >= 0
+    # the kernel reads candidate slices window[qb+z : qb+z+8], so dest
+    # row i gets window row qb+z+i — base the plan on slab - row, whose
+    # per-sub-chunk spread is only the local jitter (Z ~ 2-4)
+    row_in_sub = (np.arange(dst_pad) % (8 * 128)) // 128
+    rel = slab - row_in_sub
+    sub = rel.reshape(-1, 8 * 128)
+    vsub = valid.reshape(-1, 8 * 128)
+    any_v = vsub.any(axis=1)
+    big = np.iinfo(np.int64).max
+    qb_abs = np.where(any_v,
+                      np.min(np.where(vsub, sub, big), axis=1), 0)
+    qb_abs = _carry_empty(qb_abs, any_v)
+    qhi = np.where(any_v, np.max(np.where(vsub, sub, -big), axis=1),
+                   qb_abs)
+    z_span = qhi - qb_abs                            # z in [0, z_span]
+    if int(z_span.max(initial=0)) + 1 > Z_CAP:
+        return None
+    Z = int(z_span.max(initial=0)) + 1
+    # per tile: window base = min qb_abs of its sub-chunks
+    qb_t = qb_abs.reshape(-1, TR // 8)
+    w_abs = qb_t.min(axis=1)
+    # sub-chunk base relative to its tile's window
+    qb = (qb_abs - np.repeat(w_abs, TR // 8))
+    D = int(qb.max(initial=0)) + Z + 8               # window extra rows
+    if D > 4 * TR:                                   # degenerate skew
+        return None
+    if (w_abs < -PADF).any():
+        return None
+    z = np.where(valid, rel - np.repeat(qb_abs, 8 * 128), 0)
+    loc = np.where(valid, z * 128 + (m & 127), -1).astype(np.int32)
+    w_rows = (w_abs + PADF).astype(np.int32)
+    WR = TR + D
+    src_pad = int(max((w_rows.astype(np.int64) * 128 + WR * 128).max(),
+                      PADF * 128 + -(-src_size // 128) * 128))
+    return WindowPlan(mode="z8", dst_size=dst_size, dst_pad=dst_pad,
+                      src_size=src_size, src_pad=src_pad, D=D, TR=TR, Z=Z,
+                      w_rows=w_rows, qb=qb.astype(np.int32), loc=loc)
+
+
+def _try_build_drift(src_of_dst, dst_size, src_size,
+                     TR: int) -> WindowPlan | None:
+    TILE = TR * 128
+    m, dst_pad = _pad_map(src_of_dst, dst_size, TILE)
+    slab = m >> 7                                    # src row; -1 -> -1
+    row = (np.arange(dst_pad) % TILE) // 128         # in-tile dest row
     rel = np.where(m >= 0, slab - row, np.iinfo(np.int64).max)
     rel_t = rel.reshape(-1, TILE)
     any_valid = (m.reshape(-1, TILE) >= 0).any(axis=1)
     base = np.where(any_valid, rel_t.min(axis=1), 0)
-    for t in range(len(base)):                      # carry into empty tiles
-        if not any_valid[t]:
-            base[t] = base[t - 1] if t else 0
+    base = _carry_empty(base, any_valid)
     # base may be negative (compressive maps near the start); the caller
     # front-pads src by PADF rows of zeros so windows never pre-start
     if (base < -PADF).any():
@@ -113,44 +185,47 @@ def _try_build(src_of_dst: np.ndarray, dst_size: int, src_size: int,
     if D > D_CAP:
         return None
     loc = np.where(m >= 0, delta * 128 + (m & 127), -1).astype(np.int32)
-    w_rows = (base + PADF).astype(np.int32)         # into the padded src
+    w_rows = (base + PADF).astype(np.int32)          # into the padded src
     WS = (TR + D) * 128
     src_pad = int(max((w_rows.astype(np.int64) * 128 + WS).max(),
                       PADF * 128 + -(-src_size // 128) * 128))
-    plan = WindowPlan(dst_size=dst_size, dst_pad=dst_pad,
-                      src_size=src_size, src_pad=src_pad, D=D, TR=TR,
-                      w_rows=w_rows, loc=loc)
-    return plan
+    return WindowPlan(mode="drift", dst_size=dst_size, dst_pad=dst_pad,
+                      src_size=src_size, src_pad=src_pad, D=D, TR=TR, Z=0,
+                      w_rows=w_rows, qb=None, loc=loc)
 
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _kernel(D: int, TR: int):
+def _dma_prologue(w_ref, src_ref, vwin, sems, WR):
+    """Standard double-buffered window fetch; returns the live slot."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    def dma(tt, buf):
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(w_ref[tt], WR)], vwin.at[buf], sems.at[buf])
+
+    @pl.when(t == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        dma(t + 1, nxt).start()
+
+    dma(t, slot).wait()
+    return t, slot
+
+
+def _kernel_drift(D: int, TR: int):
     WR = TR + D          # window rows
 
     def kernel(w_ref, loc_ref, src_ref, out_ref, vwin, sems):
-        t = pl.program_id(0)
-        nt = pl.num_programs(0)
-        slot = jax.lax.rem(t, 2)
-        nxt = jax.lax.rem(t + 1, 2)
-
-        def dma(row_start, buf):
-            return pltpu.make_async_copy(
-                src_ref.at[pl.ds(row_start, WR)], vwin.at[buf],
-                sems.at[buf])
-
-        @pl.when(t == 0)
-        def _():
-            dma(w_ref[0], 0).start()
-
-        @pl.when(t + 1 < nt)
-        def _():
-            dma(w_ref[t + 1], nxt).start()
-
-        dma(w_ref[t], slot).wait()
-
+        _, slot = _dma_prologue(w_ref, src_ref, vwin, sems, WR)
         loc = loc_ref[:]                      # (TR, 128) int32
         delta = jnp.floor_divide(loc, 128)    # -1 stays negative
         lane = jnp.mod(loc, 128)              # floor mod: -1 -> 127
@@ -164,6 +239,26 @@ def _kernel(D: int, TR: int):
     return kernel
 
 
+def _kernel_z8(Z: int, TR: int, D: int):
+    WR = TR + D
+    NSUB = TR // 8
+
+    def kernel(w_ref, qb_ref, loc_ref, src_ref, out_ref, vwin, sems):
+        t, slot = _dma_prologue(w_ref, src_ref, vwin, sems, WR)
+        for c in range(NSUB):
+            qb = qb_ref[t * NSUB + c]
+            loc = loc_ref[8 * c:8 * (c + 1), :]       # (8, 128)
+            zid = jnp.floor_divide(loc, 128)
+            lane = jnp.mod(loc, 128)
+            acc = jnp.zeros((8, 128), out_ref.dtype)
+            for z in range(Z):
+                sl = vwin[slot, pl.ds(qb + z, 8), :]  # (8, 128) candidate
+                g = jnp.take_along_axis(sl, lane, axis=1)
+                acc = jnp.where(zid == z, g, acc)
+            out_ref[8 * c:8 * (c + 1), :] = acc
+    return kernel
+
+
 def window_gather(plan: WindowPlan, src: jax.Array) -> jax.Array:
     """Apply the relayout: returns (dst_size,) with dst[d]=src[map[d]]."""
     assert src.ndim == 1 and src.shape[0] == plan.src_size
@@ -173,26 +268,46 @@ def window_gather(plan: WindowPlan, src: jax.Array) -> jax.Array:
     src2d = src.reshape(-1, 128)
     loc2d = as_device_array(plan.loc).reshape(-1, 128)
     TR = plan.TR
+    num_prefetch = 1 if plan.mode == "drift" else 2
+    prefetch = ((as_device_array(plan.w_rows),) if plan.mode == "drift"
+                else (as_device_array(plan.w_rows),
+                      as_device_array(plan.qb)))
+    if plan.mode == "drift":
+        kernel = _kernel_drift(plan.D, TR)
+
+        def loc_map(t, w):
+            return (t, 0)
+
+        def out_map(t, w):
+            return (t, 0)
+    else:
+        kernel = _kernel_z8(plan.Z, TR, plan.D)
+
+        def loc_map(t, w, q):
+            return (t, 0)
+
+        def out_map(t, w, q):
+            return (t, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=num_prefetch,
         grid=(plan.ntiles,),
         in_specs=[
-            pl.BlockSpec((TR, 128), lambda t, w: (t, 0)),
+            pl.BlockSpec((TR, 128), loc_map),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((TR, 128), lambda t, w: (t, 0)),
+        out_specs=pl.BlockSpec((TR, 128), out_map),
         scratch_shapes=[
             pltpu.VMEM((2, TR + plan.D, 128), src.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _kernel(plan.D, TR),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.dst_pad // 128, 128),
                                        src.dtype),
         interpret=_interpret(),
-    )(as_device_array(plan.w_rows), loc2d, src2d)
+    )(*prefetch, loc2d, src2d)
     return out.reshape(-1)[:plan.dst_size]
 
 
