@@ -316,3 +316,77 @@ class TestDiaLogsumexp:
             r, sparse_logsumexp(A, dim=1, backend="dia"), rtol=1e-6)
         np.testing.assert_allclose(
             c, sparse_logsumexp(A, dim=0, backend="dia"), rtol=1e-6)
+
+
+class TestHybridDia:
+    """Hybrid DIA + residual-COO plans: mostly-diagonal patterns with
+    stragglers keep the shifted-stream path (round-1 gap: one stray
+    entry used to kick the whole matrix off DIA)."""
+
+    def _hybrid(self, n=300, frac=0.05, key=KEY):
+        from torchsparsegradutils_tpu.types import SparseCOO
+        base = stencil_sparse(key, (n, n), [-9, -1, 0, 1, 9])
+        rng = np.random.default_rng(5)
+        n_extra = int(base.nnz * frac)
+        er = rng.integers(0, n, n_extra)
+        ec = rng.integers(0, n, n_extra)
+        rows = np.concatenate([np.asarray(base.rows()), er])
+        cols = np.concatenate([np.asarray(base.cols()), ec])
+        order = np.lexsort((cols, rows))
+        rows, cols = rows[order], cols[order]
+        keep = np.ones(len(rows), bool)   # dedup exact duplicates
+        keep[1:] = (np.diff(rows) != 0) | (np.diff(cols) != 0)
+        rows, cols = rows[keep], cols[keep]
+        data = jax.random.normal(jax.random.fold_in(key, 3),
+                                 (len(rows),))
+        return SparseCOO(rows.astype(np.int32), cols.astype(np.int32),
+                         data, (n, n))
+
+    def test_hybrid_detected(self):
+        A = self._hybrid()
+        plan = _dia_plan(A, "auto")
+        assert plan is not None and plan.is_hybrid
+        assert len(plan.resid_sel) < 0.1 * A.nnz
+
+    def test_forward_and_grads_match_xla(self):
+        A = self._hybrid()
+        B = jax.random.normal(jax.random.fold_in(KEY, 1), (300, 9))
+        G = jax.random.normal(jax.random.fold_in(KEY, 2), (300, 9))
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   sparse_mm(A, B, backend="xla"),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(d, b, backend):
+            return (sparse_mm(A.with_data(d), b, backend=backend)
+                    * G).sum()
+
+        gd = jax.grad(loss, argnums=(0, 1))(A.data, B, "dia")
+        gx = jax.grad(loss, argnums=(0, 1))(A.data, B, "xla")
+        np.testing.assert_allclose(gd[0], gx[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gd[1], gx[1], rtol=1e-5, atol=1e-5)
+
+    def test_sddmm_hybrid(self):
+        A = self._hybrid()
+        X = jax.random.normal(KEY, (300, 6))
+        Y = jax.random.normal(jax.random.fold_in(KEY, 1), (300, 6))
+        sd = sddmm(A, X, Y, backend="dia")
+        sx = sddmm(A, X, Y, backend="xla")
+        np.testing.assert_allclose(sd.data, sx.data, rtol=1e-5, atol=1e-5)
+
+    def test_solver_matvec_hybrid(self):
+        from torchsparsegradutils_tpu.solvers.common import (as_matvec,
+                                                             as_rmatvec)
+        A = self._hybrid()
+        x = jax.random.normal(KEY, (300,))
+        np.testing.assert_allclose(as_matvec(A)(x), A.todense() @ x,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(as_rmatvec(A)(x), A.todense().T @ x,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_lse_and_tri_skip_hybrid(self):
+        from torchsparsegradutils_tpu import sparse_logsumexp
+        A = self._hybrid()
+        # logsumexp must still be correct (via the generic path)
+        out = sparse_logsumexp(A, dim=1)
+        ref = jax.scipy.special.logsumexp(A.todense(), axis=1)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)

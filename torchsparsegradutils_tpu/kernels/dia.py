@@ -62,7 +62,8 @@ from .window_gather import (
 )
 
 MAX_DIAGS = 256          # offsets above this: not DIA-structured
-DIA_MAX_EXPAND = 4.0     # grid cells (K*n) must be <= this x nnz
+DIA_MAX_EXPAND = 4.0     # grid cells (K*n) must be <= this x covered nnz
+HYBRID_MIN_COVER = 0.7   # diagonals must cover >= this nnz fraction
 LANE = 128
 VMEM_BUDGET = 10 * 1024 * 1024
 MIN_P_PALLAS = 8         # below this RHS width the XLA vector path wins
@@ -70,39 +71,53 @@ MIN_P_PALLAS = 8         # below this RHS width the XLA vector path wins
 
 @dataclass(frozen=True)
 class DiaPlan:
+    """Execution plan for a (possibly hybrid) diagonal-structured matrix.
+
+    Entries on the selected diagonals live in the ``(n, K)`` value grid;
+    straggler entries (``resid_*``, at most ``1 - HYBRID_MIN_COVER`` of
+    nnz) run through the generic gather/segment path and are summed in.
+    Both per-call value splits are monotone compactions handled by
+    :mod:`.window_gather`.
+    """
     n: int
     m: int
     nnz: int
     offsets: np.ndarray             # (K,) int64, sorted
     K: int
-    pos: np.ndarray                 # (nnz,) int64 grid slot per entry
+    pos: np.ndarray                 # (nnz,) int64 grid slot or -1 (resid)
     fill_plan: Optional[WindowPlan]    # values -> (n*K,) row-major grid
-    unfill_plan: Optional[WindowPlan]  # (n*K,) grid -> values
+    unfill_plan: Optional[WindowPlan]  # (n*K,) grid -> values (0 at resid)
     src_of_grid: np.ndarray         # (n*K,) int64 entry idx or -1 (XLA path)
+    # hybrid residual (None fields when the pattern is pure DIA)
+    resid_rows: Optional[np.ndarray] = None   # (nnz_r,) int64
+    resid_cols: Optional[np.ndarray] = None
+    resid_sel: Optional[np.ndarray] = None    # (nnz_r,) entry indices
+    resid_compact: Optional[WindowPlan] = None  # values -> resid values
+    resid_expand: Optional[WindowPlan] = None   # resid cotangent -> values
 
     @property
     def span(self) -> int:
         return int(self.offsets[-1] - self.offsets[0])
 
+    @property
+    def is_hybrid(self) -> bool:
+        return self.resid_sel is not None
+
 
 @lru_cache(maxsize=64)
 def build_dia_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
                    m: int) -> Optional[DiaPlan]:
-    """Detect a diagonal-structured pattern and build its plan.
+    """Detect a (possibly hybrid) diagonal-structured pattern.
 
-    Requires entries in canonical row-major (CSR) order.  Returns None
-    for patterns that are not profitably DIA (too many offsets, too
-    sparse a grid).
+    Requires entries in canonical row-major (CSR) order.  Selects the
+    densest diagonals; if they cover >= ``HYBRID_MIN_COVER`` of nnz
+    within the K / grid-expansion budgets, the leftover entries become a
+    residual COO part.  Returns None when no profitable selection exists.
     """
     rows = rows_sa.arr.astype(np.int64)
     cols = cols_sa.arr.astype(np.int64)
     nnz = len(rows)
     if rows.ndim != 1 or nnz == 0:
-        return None
-    offs = cols - rows
-    uniq = np.unique(offs)
-    K = len(uniq)
-    if K > MAX_DIAGS or K * n > DIA_MAX_EXPAND * max(nnz, 1):
         return None
     # canonical order check (row-major sorted): rows non-decreasing and
     # cols strictly increasing within a row
@@ -112,15 +127,45 @@ def build_dia_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
             return None
         if ((d == 0) & (np.diff(cols) <= 0)).any():
             return None
-    diag_idx = np.searchsorted(uniq, offs)
-    pos = rows * K + diag_idx            # strictly increasing in CSR order
+    offs = cols - rows
+    uniq, counts = np.unique(offs, return_counts=True)
+    # keep the densest diagonals within the K and expansion budgets
+    order = np.argsort(-counts, kind="stable")
+    keep_n = min(len(uniq), MAX_DIAGS)
+    kept = order[:keep_n]
+    cum = np.cumsum(counts[kept])
+    # expansion budget: K*n <= DIA_MAX_EXPAND * covered
+    while keep_n > 0 and keep_n * n > DIA_MAX_EXPAND * cum[keep_n - 1]:
+        keep_n -= 1
+    if keep_n == 0:
+        return None
+    covered = int(cum[keep_n - 1])
+    if covered < HYBRID_MIN_COVER * nnz:
+        return None
+    sel_offsets = np.sort(uniq[kept[:keep_n]])
+    K = len(sel_offsets)
+    on_dia = np.isin(offs, sel_offsets)
+    diag_idx = np.searchsorted(sel_offsets, offs)
+    pos = np.where(on_dia, rows * K + diag_idx, -1)
     src_of_grid = np.full(n * K, -1, np.int64)
-    src_of_grid[pos] = np.arange(nnz)
+    src_of_grid[pos[on_dia]] = np.nonzero(on_dia)[0]
     fill_plan = build_window_plan(src_of_grid, n * K, nnz)
     unfill_plan = build_window_plan(pos, nnz, n * K)
-    return DiaPlan(n=n, m=m, nnz=nnz, offsets=uniq, K=K, pos=pos,
+    if covered == nnz:
+        return DiaPlan(n=n, m=m, nnz=nnz, offsets=sel_offsets, K=K,
+                       pos=pos, fill_plan=fill_plan,
+                       unfill_plan=unfill_plan, src_of_grid=src_of_grid)
+    resid_sel = np.nonzero(~on_dia)[0]
+    resid_compact = build_window_plan(resid_sel, len(resid_sel), nnz)
+    expand_map = np.full(nnz, -1, np.int64)
+    expand_map[resid_sel] = np.arange(len(resid_sel))
+    resid_expand = build_window_plan(expand_map, nnz, len(resid_sel))
+    return DiaPlan(n=n, m=m, nnz=nnz, offsets=sel_offsets, K=K, pos=pos,
                    fill_plan=fill_plan, unfill_plan=unfill_plan,
-                   src_of_grid=src_of_grid)
+                   src_of_grid=src_of_grid,
+                   resid_rows=rows[resid_sel], resid_cols=cols[resid_sel],
+                   resid_sel=resid_sel, resid_compact=resid_compact,
+                   resid_expand=resid_expand)
 
 
 def _interpret() -> bool:
@@ -147,11 +192,50 @@ def values_to_grid(plan: DiaPlan, data: jax.Array) -> jax.Array:
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def grid_to_values(plan: DiaPlan, grid: jax.Array) -> jax.Array:
-    """(n, K) diagonal grid -> (nnz,) canonical values."""
+    """(n, K) diagonal grid -> (nnz,) canonical values (0 at residual
+    entries of a hybrid plan)."""
     flat = grid.reshape(-1)
     if plan.unfill_plan is not None and _use_pallas_grid(grid.dtype):
         return window_gather(plan.unfill_plan, flat)
-    return jnp.take(flat, jnp.asarray(plan.pos))
+    return window_gather_xla(plan.pos, flat, plan.nnz)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def resid_values(plan: DiaPlan, data: jax.Array) -> jax.Array:
+    """(nnz,) canonical values -> (nnz_r,) residual (off-diagonal) values
+    of a hybrid plan — a monotone compaction."""
+    if plan.resid_compact is not None and _use_pallas_grid(data.dtype):
+        return window_gather(plan.resid_compact, data)
+    return jnp.take(data, jnp.asarray(plan.resid_sel))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def resid_expand_values(plan: DiaPlan, rvals: jax.Array) -> jax.Array:
+    """(nnz_r,) residual values -> (nnz,) canonical slots (0 elsewhere)."""
+    if plan.resid_expand is not None and _use_pallas_grid(rvals.dtype):
+        return window_gather(plan.resid_expand, rvals)
+    return jnp.zeros((plan.nnz,), rvals.dtype).at[
+        jnp.asarray(plan.resid_sel)].set(rvals)
+
+
+def _rv_fwd(plan, data):
+    return resid_values(plan, data), None
+
+
+def _rv_bwd(plan, _, ct):
+    return (resid_expand_values(plan, ct),)
+
+
+def _rev_fwd(plan, rvals):
+    return resid_expand_values(plan, rvals), None
+
+
+def _rev_bwd(plan, _, ct):
+    return (resid_values(plan, ct),)
+
+
+resid_values.defvjp(_rv_fwd, _rv_bwd)
+resid_expand_values.defvjp(_rev_fwd, _rev_bwd)
 
 
 def _v2g_fwd(plan, data):
@@ -425,10 +509,31 @@ def _spmm_core(offsets, n, m, grid_v, B):
     return _spmm_core_xla(offsets, n, grid_v, B)
 
 
+def _resid_spmm(plan: DiaPlan, rvals, B):
+    """Residual-entry contribution to A @ B (rows sorted)."""
+    prod = rvals[:, None] * jnp.take(B, jnp.asarray(plan.resid_cols),
+                                     axis=0)
+    return jax.ops.segment_sum(prod, jnp.asarray(plan.resid_rows),
+                               num_segments=plan.n,
+                               indices_are_sorted=True)
+
+
+def _resid_spmm_t(plan: DiaPlan, rvals, G):
+    prod = rvals[:, None] * jnp.take(G, jnp.asarray(plan.resid_rows),
+                                     axis=0)
+    return jax.ops.segment_sum(prod, jnp.asarray(plan.resid_cols),
+                               num_segments=plan.m)
+
+
 def dia_spmm(plan: DiaPlan, data: jax.Array, B: jax.Array) -> jax.Array:
-    """A @ B, A in DIA form: K statically shifted fused multiply-adds."""
+    """A @ B, A in DIA form: K statically shifted fused multiply-adds
+    (+ a gather/segment pass over the residual entries of hybrid plans).
+    """
     grid_v = values_to_grid(plan, data)
-    return _spmm_core(plan.offsets, plan.n, plan.m, grid_v, B)
+    out = _spmm_core(plan.offsets, plan.n, plan.m, grid_v, B)
+    if plan.is_hybrid:
+        out = out + _resid_spmm(plan, resid_values(plan, data), B)
+    return out
 
 
 def dia_spmm_transpose(plan: DiaPlan, data: jax.Array,
@@ -437,15 +542,50 @@ def dia_spmm_transpose(plan: DiaPlan, data: jax.Array,
     column-shifted value grid (see :func:`_transpose_grid`)."""
     grid_v = values_to_grid(plan, data)
     offsets_T, shift = _transpose_grid(plan)
-    return _spmm_core(offsets_T, plan.m, plan.n, shift(grid_v), G)
+    out = _spmm_core(offsets_T, plan.m, plan.n, shift(grid_v), G)
+    if plan.is_hybrid:
+        out = out + _resid_spmm_t(plan, resid_values(plan, data), G)
+    return out
 
 
 def dia_sddmm(plan: DiaPlan, X: jax.Array, Y: jax.Array) -> jax.Array:
     """values of (X @ Yᵀ) at the pattern, canonical order:
-    d_v[r, k] = dot(X[r, :], Y[r + off_k, :])."""
+    d_v[r, k] = dot(X[r, :], Y[r + off_k, :]) (+ residual gather-dots)."""
     grid = None
     if _pallas_ok(plan, X.shape[1], X.dtype):
         grid = _dia_sddmm_pallas(plan, X, Y)
     if grid is None:
         grid = _dia_sddmm_grid_xla(plan, X, Y)
-    return grid_to_values(plan, grid)
+    vals = grid_to_values(plan, grid)
+    if plan.is_hybrid:
+        rv = (jnp.take(X, jnp.asarray(plan.resid_rows), axis=0)
+              * jnp.take(Y, jnp.asarray(plan.resid_cols), axis=0)).sum(-1)
+        vals = vals + resid_expand_values(plan, rv)
+    return vals
+
+
+def prepared_matvec(plan: DiaPlan, data: jax.Array, transpose: bool):
+    """Closure ``x -> A @ x`` (or ``Aᵀ @ x``) with every per-call value
+    relayout hoisted — build it once before a Krylov ``while_loop`` so
+    iterations pay only the shifted streams."""
+    gv = values_to_grid(plan, data)
+    rv = resid_values(plan, data) if plan.is_hybrid else None
+    if transpose:
+        offsets_T, shift = _transpose_grid(plan)
+        gvT = shift(gv)
+
+        def mv_t(x):
+            out = _spmm_core(offsets_T, plan.m, plan.n, gvT, x)
+            if rv is not None:
+                out = out + _resid_spmm_t(plan, rv, x)
+            return out
+
+        return mv_t
+
+    def mv(x):
+        out = _spmm_core(plan.offsets, plan.n, plan.m, gv, x)
+        if rv is not None:
+            out = out + _resid_spmm(plan, rv, x)
+        return out
+
+    return mv

@@ -126,7 +126,7 @@ def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str):
         return None
     n, m = A.mat_shape
     dia = build_dia_plan(rs, cs, n, m)
-    if dia is None:
+    if dia is None or dia.is_hybrid:
         return None
     grid = values_to_grid(dia, A.data)
     valid = (dia.src_of_grid >= 0).reshape(n, dia.K)

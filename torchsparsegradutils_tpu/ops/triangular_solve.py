@@ -204,7 +204,7 @@ def _tri_dia_forward(A, B, *, upper: bool, unit: bool, transpose: bool):
         return None
     n = A.shape[0]
     dia = build_dia_plan(rs, cs, n, n)
-    if dia is None:
+    if dia is None or dia.is_hybrid:
         return None
     gridv = values_to_grid(dia, A.data)
     offsets = dia.offsets

@@ -27,24 +27,18 @@ def _dia_matvec(A, transpose: bool):
     """Hoisted DIA matvec: the value-grid relayout runs once at closure
     build time (i.e. *outside* the solver's ``lax.while_loop``) instead of
     on every Krylov iteration.  None if the pattern is not DIA."""
-    from ..kernels.dia import _spmm_core, _transpose_grid, values_to_grid
+    from ..kernels.dia import prepared_matvec
     from ..ops.spmm import _dia_plan
 
     dplan = _dia_plan(A, "auto")
     if dplan is None:
         return None
-    gv = values_to_grid(dplan, A.data)
-    if transpose:
-        offsets_T, shift = _transpose_grid(dplan)
-        gv = shift(gv)
-        offsets, n, m = offsets_T, dplan.m, dplan.n
-    else:
-        offsets, n, m = dplan.offsets, dplan.n, dplan.m
+    core = prepared_matvec(dplan, A.data, transpose)
 
     def mv(x):
         if x.ndim == 1:
-            return _spmm_core(offsets, n, m, gv, x[:, None])[:, 0]
-        return _spmm_core(offsets, n, m, gv, x)
+            return core(x[:, None])[:, 0]
+        return core(x)
 
     return mv
 
