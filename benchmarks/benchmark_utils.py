@@ -139,3 +139,83 @@ def write_csv(name: str, rows) -> str:
         w.writerows(rows)
     print(f"wrote {path} ({len(rows)} rows)")
     return path
+
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), ".benchmark_data")
+SUITESPARSE_URL = "https://suitesparse-collection-website.herokuapp.com/MM"
+
+
+def get_suitesparse(group: str, name: str, layout: str = "csr"):
+    """Download (and cache) a SuiteSparse matrix as a sparse container.
+
+    Mirror of the reference's loader (benchmarks/benchmark_utils.py:
+    59-100): fetches ``<group>/<name>.tar.gz`` from the SuiteSparse
+    Matrix Market mirror into ``benchmarks/.benchmark_data`` and parses
+    the ``.mtx``.  In network-less environments, drop the extracted
+    ``<name>.mtx`` into the cache directory by hand and this function
+    picks it up.
+    """
+    import tarfile
+    import urllib.request
+
+    import jax.numpy as jnp
+    import scipy.io as sio
+
+    from torchsparsegradutils_tpu.types import SparseCOO
+
+    os.makedirs(DATA_DIR, exist_ok=True)
+    mtx_path = os.path.join(DATA_DIR, f"{name}.mtx")
+    if not os.path.exists(mtx_path):
+        tar_path = os.path.join(DATA_DIR, f"{name}.tar.gz")
+        if not os.path.exists(tar_path):
+            url = f"{SUITESPARSE_URL}/{group}/{name}.tar.gz"
+            print(f"downloading {url} ...")
+            urllib.request.urlretrieve(url, tar_path)
+        with tarfile.open(tar_path) as tf:
+            for member in tf.getmembers():
+                if member.name.endswith(f"{name}.mtx"):
+                    member.name = os.path.basename(member.name)
+                    tf.extract(member, DATA_DIR)
+                    break
+    M = sio.mmread(mtx_path).tocoo()
+    order = np.lexsort((M.col, M.row))
+    coo = SparseCOO(M.row[order].astype(np.int32),
+                    M.col[order].astype(np.int32),
+                    jnp.asarray(M.data[order], jnp.float32), M.shape)
+    return coo if layout == "coo" else coo.tocsr()
+
+
+def cfd2_or_stencil(key, layout: str = "csr", lower_half: bool = False,
+                    spd: bool = False):
+    """(matrix, label): the real Rothberg/cfd2 when downloadable/cached,
+    else the cfd2-faithful 25-diagonal stencil (no-egress environments)."""
+    import jax.numpy as jnp
+
+    try:
+        A = get_suitesparse("Rothberg", "cfd2", layout="coo")
+        if lower_half:
+            import numpy as _np
+
+            from torchsparsegradutils_tpu.types import SparseCOO
+            r, c = A.rows_np(), A.cols_np()
+            keep = c <= r
+            A = SparseCOO(r[keep], c[keep],
+                          A.data[jnp.asarray(_np.nonzero(keep)[0])],
+                          A.shape)
+        if layout == "csr":
+            A = A.tocsr()
+        return A, "cfd2"
+    except Exception:
+        from torchsparsegradutils_tpu.utils.random_sparse import (
+            make_spd_stencil, stencil_sparse)
+        offs = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51, -51,
+                       2401, -2401, 2449, -2449, 2450, -2450, 2451, -2451,
+                       2499, -2499, 2500, -2500})
+        if spd:
+            return make_spd_stencil(key, 123_440,
+                                    [o for o in offs if o > 0],
+                                    layout=layout), "stencil_cfd2"
+        if lower_half:
+            offs = [o for o in offs if o <= 0]
+        return stencil_sparse(key, (123_440, 123_440), offs,
+                              layout=layout), "stencil_cfd2"

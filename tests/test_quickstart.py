@@ -112,3 +112,61 @@ def test_gmrf_example_converges():
     assert losses[-1] < losses[0] - 1.0
     truth_nll = float(-dist_from(truth).log_prob(data).mean())
     assert losses[-1] < truth_nll + 0.2 * abs(truth_nll) + 5.0
+
+
+def test_quickstart_lstsq_and_logsumexp():
+    """Remaining quickstart flows: least squares and logsumexp."""
+    from torchsparsegradutils_tpu import (sparse_generic_lstsq,
+                                          sparse_logsumexp)
+    from torchsparsegradutils_tpu.utils import rand_sparse
+
+    key = jax.random.PRNGKey(2)
+    A = rand_sparse(key, (30, 10), 90)
+    # ensure full column rank
+    from torchsparsegradutils_tpu.types import SparseCOO
+    dense = np.array(A.todense())
+    dense[:10, :10] += 2.0 * np.eye(10, dtype=np.float32)
+    r, c = np.nonzero(dense)
+    A = SparseCOO(r.astype(np.int32), c.astype(np.int32),
+                  jnp.asarray(dense[r, c]), (30, 10))
+    b = jax.random.normal(jax.random.fold_in(key, 1), (30,))
+    x = sparse_generic_lstsq(A, b)
+    ref = jnp.linalg.lstsq(A.todense(), b)[0]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=5e-3,
+                               atol=5e-4)
+
+    L = rand_sparse(key, (12, 9), 40)
+    lse = sparse_logsumexp(L, dim=1)
+    np.testing.assert_allclose(
+        np.asarray(lse),
+        np.asarray(jax.scipy.special.logsumexp(L.todense(), axis=1)),
+        rtol=1e-5)
+
+
+def test_quickstart_interop_backends():
+    """The reference quickstart's cupy/jax foreign-solver flows, mapped to
+    this library's scipy host-callback and torch-frontend backends."""
+    import pytest
+
+    from torchsparsegradutils_tpu.utils import make_spd_sparse
+
+    key = jax.random.PRNGKey(3)
+    A = make_spd_sparse(key, 24, 24 + 2 * 40)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+    try:
+        from torchsparsegradutils_tpu.interop import sparse_solve_scipy
+        x = sparse_solve_scipy(A, b)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(jnp.linalg.solve(A.todense(), b)),
+            rtol=1e-4, atol=1e-4)
+    except Exception as e:  # pragma: no cover - runtime without send/recv
+        if "send/recv" not in str(e):
+            raise
+        pytest.skip("runtime lacks host callbacks")
+
+    try:
+        import torch  # noqa: F401
+
+        from torchsparsegradutils_tpu.interop import sparse_mm_j4t, t2j
+    except ImportError:  # pragma: no cover
+        pytest.skip("torch not installed")
