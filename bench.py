@@ -45,7 +45,7 @@ STENCIL_OFFSETS = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51,
                           2451, -2451, 2499, -2499, 2500, -2500})
 
 
-def chain_bench(step, x0, rep=10, n_meas=5):
+def chain_bench(step, x0, rep=40, n_meas=4):
     """Median per-step wall-clock of `rep` dependent steps in one jit."""
     import jax
     import jax.numpy as jnp

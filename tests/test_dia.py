@@ -390,3 +390,20 @@ class TestHybridDia:
         out = sparse_logsumexp(A, dim=1)
         ref = jax.scipy.special.logsumexp(A.todense(), axis=1)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestDiaBf16:
+    def test_bf16_forward_and_grad(self):
+        A32 = _mk([-9, -1, 0, 1, 9], shape=(200, 200))
+        A = A32.with_data(A32.data.astype(jnp.bfloat16))
+        B = jax.random.normal(KEY, (200, 8)).astype(jnp.bfloat16)
+        out = sparse_mm(A, B, backend="dia")
+        assert out.dtype == jnp.bfloat16
+        ref = jnp.asarray(A32.todense(), jnp.float32) @ B.astype(
+            jnp.float32)
+        np.testing.assert_allclose(out.astype(jnp.float32), ref,
+                                   rtol=2e-2, atol=2e-2)
+        g = jax.grad(lambda d: sparse_mm(
+            A.with_data(d), B, backend="dia").astype(jnp.float32).sum()
+        )(A.data)
+        assert g.dtype == jnp.bfloat16 and g.shape == (A.nnz,)
