@@ -327,8 +327,9 @@ def _spmm_core_pallas(offsets: np.ndarray, n: int, m: int, grid_v, B):
         j = pl.program_id(1)
         step = i * jt + j
         nsteps = pl.num_programs(0) * jt
-        slot = jax.lax.rem(step, 2)
-        nxt = jax.lax.rem(step + 1, 2)
+        two = jnp.int32(2)  # literal stays int32 under x64
+        slot = jax.lax.rem(step, two)
+        nxt = jax.lax.rem(step + 1, two)
 
         def dma(st, buf):
             ii = st // jt

@@ -30,7 +30,6 @@ it is a static-plan Pallas kernel keyed on the pattern hash.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -39,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import StaticArray, as_device_array
+from ..types import as_device_array
 
 Z_CAP = 14           # max candidate slices per 8-row sub-chunk (z8 mode):
 #                      8 dest rows draw from ~8/ratio source slabs + jitter
@@ -202,8 +201,9 @@ def _dma_prologue(w_ref, src_ref, vwin, sems, WR):
     """Standard double-buffered window fetch; returns the live slot."""
     t = pl.program_id(0)
     nt = pl.num_programs(0)
-    slot = jax.lax.rem(t, 2)
-    nxt = jax.lax.rem(t + 1, 2)
+    two = jnp.int32(2)      # literal stays int32 under x64
+    slot = jax.lax.rem(t, two)
+    nxt = jax.lax.rem(t + 1, two)
 
     def dma(tt, buf):
         return pltpu.make_async_copy(
