@@ -170,3 +170,32 @@ def test_quickstart_interop_backends():
         from torchsparsegradutils_tpu.interop import sparse_mm_j4t, t2j
     except ImportError:  # pragma: no cover
         pytest.skip("torch not installed")
+
+
+def test_poisson_inverse_example_converges():
+    """Condensed examples/fit_conductivity_poisson.py: DIA + CG + IFT."""
+    import examples.fit_conductivity_poisson as M
+    import optax
+
+    key = jax.random.PRNGKey(0)
+    xs = jnp.arange(M.NX)[:, None] / M.NX
+    ys = jnp.arange(M.NY)[None, :] / M.NY
+    theta_true = (0.8 * jnp.sin(2 * jnp.pi * xs)
+                  * jnp.cos(2 * jnp.pi * ys)).reshape(-1)
+    f = jax.random.normal(key, (M.N,))
+    y_obs = M.solve(theta_true, f)
+    opt = optax.adam(5e-2)
+
+    @jax.jit
+    def step(theta, state):
+        loss, g = jax.value_and_grad(
+            lambda t: ((M.solve(t, f) - y_obs) ** 2).sum() * 1e2)(theta)
+        up, state = opt.update(g, state)
+        return optax.apply_updates(theta, up), state, loss
+
+    theta = jnp.zeros((M.N,))
+    state = opt.init(theta)
+    for _ in range(40):
+        theta, state, _ = step(theta, state)
+    err = float(jnp.abs(theta - theta_true).mean())
+    assert err < 0.6 * float(jnp.abs(theta_true).mean())
