@@ -407,3 +407,80 @@ class TestDiaBf16:
             A.with_data(d), B, backend="dia").astype(jnp.float32).sum()
         )(A.data)
         assert g.dtype == jnp.bfloat16 and g.shape == (A.nnz,)
+
+
+class TestDiaEdgeCases:
+    def test_single_diagonal(self):
+        A = _mk([0], shape=(100, 100))
+        B = jax.random.normal(KEY, (100, 4))
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   A.data[:, None] * B, rtol=1e-6)
+
+    def test_extreme_offsets(self):
+        # corner entries: offsets at +/-(n-1)
+        A = _mk([-(99), 0, 99], shape=(100, 100))
+        B = jax.random.normal(KEY, (100, 3))
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   sparse_mm(A, B, backend="xla"),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_single_row_matrix(self):
+        from torchsparsegradutils_tpu.types import SparseCOO
+        A = SparseCOO(np.array([0, 0]), np.array([1, 3]),
+                      jnp.array([2.0, -1.0]), (1, 5))
+        B = jax.random.normal(KEY, (5, 2))
+        out = sparse_mm(A, B, backend="dia")
+        np.testing.assert_allclose(out, A.todense() @ B, rtol=1e-6)
+
+    def test_tall_rectangular_hybrid(self):
+        from torchsparsegradutils_tpu.types import SparseCOO
+        base = stencil_sparse(KEY, (400, 150), [-20, -1, 0, 1])
+        rows = np.concatenate([np.asarray(base.rows()), [399, 7]])
+        cols = np.concatenate([np.asarray(base.cols()), [0, 149]])
+        order = np.lexsort((cols, rows))
+        data = jax.random.normal(KEY, (len(rows),))
+        A = SparseCOO(rows[order].astype(np.int32),
+                      cols[order].astype(np.int32), data, (400, 150))
+        B = jax.random.normal(jax.random.fold_in(KEY, 1), (150, 6))
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   sparse_mm(A, B, backend="xla"),
+                                   rtol=1e-5, atol=1e-5)
+        g = jax.grad(lambda d: (sparse_mm(A.with_data(d), B,
+                                          backend="dia") ** 2).sum())(
+            A.data)
+        gx = jax.grad(lambda d: (sparse_mm(A.with_data(d), B,
+                                           backend="xla") ** 2).sum())(
+            A.data)
+        np.testing.assert_allclose(g, gx, rtol=1e-4, atol=1e-5)
+
+    def test_hybrid_f64_fallback(self, enable_x64):
+        # hybrid plan with f64 values exercises the XLA relayout branches
+        from torchsparsegradutils_tpu.types import SparseCOO
+        base = stencil_sparse(KEY, (120, 120), [-5, 0, 5])
+        rows = np.concatenate([np.asarray(base.rows()), [3, 100]])
+        cols = np.concatenate([np.asarray(base.cols()), [90, 2]])
+        order = np.lexsort((cols, rows))
+        data = jax.random.normal(KEY, (len(rows),), jnp.float64)
+        A = SparseCOO(rows[order].astype(np.int32),
+                      cols[order].astype(np.int32), data, (120, 120))
+        B = jax.random.normal(KEY, (120, 3), jnp.float64)
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   A.todense() @ B, rtol=1e-12)
+
+    def test_vmap_over_data(self):
+        A = _mk([-4, 0, 4], shape=(90, 90))
+        datas = jnp.stack([A.data, A.data * 2, -A.data])
+        B = jax.random.normal(KEY, (90, 5))
+        outs = jax.vmap(lambda d: sparse_mm(A.with_data(d), B,
+                                            backend="dia"))(datas)
+        for i, scale in enumerate((1.0, 2.0, -1.0)):
+            ref = sparse_mm(A.with_data(A.data * scale), B, backend="xla")
+            np.testing.assert_allclose(outs[i], ref, rtol=1e-5, atol=1e-5)
+
+    def test_empty_rows_and_cols(self):
+        # diagonals thinned so some rows/cols are entirely empty
+        A = _mk([-3, 0, 3], shape=(200, 200), nnz=150)
+        B = jax.random.normal(KEY, (200, 4))
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   sparse_mm(A, B, backend="xla"),
+                                   rtol=1e-5, atol=1e-6)

@@ -375,13 +375,17 @@ def _spmm_core_pallas(offsets: np.ndarray, n: int, m: int, grid_v, B):
                         pltpu.VMEM((R_T, LANE), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
     )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, p_pad), B.dtype),
-        interpret=_interpret(),
-    )(as_device_array(s_rel.astype(np.int32)), gv, Bp)
-    return out[:n, :p]
+    @jax.custom_batching.sequential_vmap
+    def run(gv, Bp):
+        # sequential under vmap: ANY-space DMA operands cannot be batched
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, p_pad), B.dtype),
+            interpret=_interpret(),
+        )(as_device_array(s_rel.astype(np.int32)), gv, Bp)
+
+    return run(gv, Bp)[:n, :p]
 
 
 def _dia_sddmm_pallas(plan: DiaPlan, X, Y):
@@ -432,13 +436,17 @@ def _dia_sddmm_pallas(plan: DiaPlan, X, Y):
                         pltpu.VMEM((R_T, K), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, K), X.dtype),
-        interpret=_interpret(),
-    )(as_device_array(s_rel.astype(np.int32)), Xp, Yp)
-    return out[:n]
+    @jax.custom_batching.sequential_vmap
+    def run(Xp, Yp):
+        # sequential under vmap: ANY-space DMA operands cannot be batched
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, K), X.dtype),
+            interpret=_interpret(),
+        )(as_device_array(s_rel.astype(np.int32)), Xp, Yp)
+
+    return run(Xp, Yp)[:n]
 
 
 def _transpose_grid(plan: DiaPlan):

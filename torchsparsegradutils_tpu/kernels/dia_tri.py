@@ -144,10 +144,14 @@ def tri_dia_core(offsets: np.ndarray, gridv, B, *,
             pltpu.VMEM((nb, p_pad), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, p_pad), B.dtype),
-        interpret=_interpret(),
-    )(as_device_array(d), gp, Dinv, Bp)
-    return out[:n, :p]
+    @jax.custom_batching.sequential_vmap
+    def run(gp, Dinv, Bp):
+        # sequential under vmap: scratch carry + ANY-space operands
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, p_pad), B.dtype),
+            interpret=_interpret(),
+        )(as_device_array(d), gp, Dinv, Bp)
+
+    return run(gp, Dinv, Bp)[:n, :p]

@@ -260,7 +260,21 @@ def _kernel_z8(Z: int, TR: int, D: int):
 
 
 def window_gather(plan: WindowPlan, src: jax.Array) -> jax.Array:
-    """Apply the relayout: returns (dst_size,) with dst[d]=src[map[d]]."""
+    """Apply the relayout: returns (dst_size,) with dst[d]=src[map[d]].
+
+    vmap-safe: the kernel DMAs from an ANY-space operand, which Pallas's
+    batching rule cannot handle on TPU, so vmap lowers to a sequential
+    scan over the batch (``custom_batching.sequential_vmap``).
+    """
+
+    @jax.custom_batching.sequential_vmap
+    def run(src):
+        return _window_gather_impl(plan, src)
+
+    return run(src)
+
+
+def _window_gather_impl(plan: WindowPlan, src: jax.Array) -> jax.Array:
     assert src.ndim == 1 and src.shape[0] == plan.src_size
     tail = plan.src_pad - plan.src_size - PADF * 128
     src = jnp.concatenate([jnp.zeros((PADF * 128,), src.dtype), src,

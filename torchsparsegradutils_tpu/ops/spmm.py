@@ -384,6 +384,14 @@ def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto",
     # A batched
     A0 = _elem(A, 0)
     if not A.indices_batched():  # shared pattern: vmap over data
+        if _dia_plan(A0, backend) is not None:
+            # DIA kernels DMA from ANY-space operands, which the Pallas
+            # vmap batching rule cannot block-spec on TPU — unroll the
+            # (static, small) batch instead
+            outs = [_spmm_cv(backend, gp, A0.with_data(A.data[i]),
+                             B if B.ndim == 2 else B[i])
+                    for i in range(A.shape[0])]
+            return jnp.stack(outs)
         if B.ndim == 2:
             return jax.vmap(
                 lambda d: _spmm_cv(backend, gp, A0.with_data(d), B)
@@ -465,8 +473,14 @@ def sddmm(A: Union[SparseCOO, SparseCSR], X, Y, *, backend: str = "auto"):
             Y = jnp.broadcast_to(Y, (A.shape[0],) + Y.shape)
         if not A.indices_batched():
             A0 = _elem(A, 0)
-            vals = jax.vmap(lambda x, y: _sddmm_cv(backend, A0, x, y).data
-                            )(X, Y)
+            if _dia_plan(A0, backend) is not None:
+                # see sparse_mm: ANY-space DMA kernels cannot be vmapped
+                vals = jnp.stack(
+                    [_sddmm_cv(backend, A0, X[i], Y[i]).data
+                     for i in range(A.shape[0])])
+            else:
+                vals = jax.vmap(
+                    lambda x, y: _sddmm_cv(backend, A0, x, y).data)(X, Y)
         else:
             row = jnp.asarray(A.rows())
             col = jnp.asarray(A.cols())
