@@ -91,6 +91,17 @@ class TestDiaDetection:
         assert _dia_plan(A, "pallas") is None
         assert _dia_plan(A, "dia") is not None
 
+    def test_dia_coverage_diagnostic(self):
+        from torchsparsegradutils_tpu import dia_coverage
+        A = stencil_sparse(KEY, (300, 300), [-9, -1, 0, 1, 9])
+        st = dia_coverage(A)
+        assert st["qualifies"] and st["coverage"] == 1.0
+        assert st["kept_diagonals"] == 5 and st["residual_nnz"] == 0
+        R = rand_sparse(KEY, (300, 300), 2000, layout="csr")
+        sr = dia_coverage(R)
+        assert not sr["qualifies"] and sr["coverage"] < 0.7
+        assert sr["nnz"] == 2000
+
     def test_low_fill_rejected(self):
         # two far-apart full diagonals plus scattered singletons on many
         # offsets -> K*n >> nnz

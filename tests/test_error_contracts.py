@@ -73,6 +73,35 @@ class TestSddmmErrors:
             sddmm(_A(), jnp.ones((7, 3)), jnp.ones((5, 3)))
 
 
+class TestBackendDiaErrors:
+    """backend='dia' must refuse (not silently fall back from) patterns
+    that fail the DIA gate — mirrors sparse_triangular_solve's
+    algorithm='dia' contract."""
+
+    def test_spmm_non_dia_pattern_raises(self):
+        # uniform-random 64x64: far more than 256 distinct offsets needed
+        A = rand_sparse(KEY, (64, 64), 512)
+        with pytest.raises(ValueError, match=re.escape(
+                "backend='dia' requires a static 2-D diagonal-structured "
+                "pattern")):
+            sparse_mm(A, jnp.ones((64, 4)), backend="dia")
+
+    def test_sddmm_non_dia_pattern_raises(self):
+        A = rand_sparse(KEY, (64, 64), 512)
+        with pytest.raises(ValueError, match=re.escape(
+                "backend='dia' requires a static 2-D diagonal-structured "
+                "pattern")):
+            sddmm(A, jnp.ones((64, 4)), jnp.ones((64, 4)), backend="dia")
+
+    def test_spmm_dia_pattern_accepts(self):
+        from torchsparsegradutils_tpu.utils.random_sparse import (
+            stencil_sparse,
+        )
+        A = stencil_sparse(KEY, (64, 64), (-1, 0, 1))
+        out = sparse_mm(A, jnp.ones((64, 4)), backend="dia")
+        assert out.shape == (64, 4)
+
+
 class TestTriangularErrors:
     def test_not_square(self):
         with pytest.raises(ValueError, match=re.escape(

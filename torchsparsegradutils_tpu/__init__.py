@@ -40,4 +40,7 @@ def __getattr__(name):  # lazy imports for heavier submodules
     if name in ("segment_mm", "gather_mm"):
         from .ops import indexed_matmul as _im
         return getattr(_im, name)
+    if name == "dia_coverage":
+        from .kernels.dia import dia_coverage
+        return dia_coverage
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

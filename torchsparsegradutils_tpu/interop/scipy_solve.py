@@ -20,6 +20,7 @@ e.g. tunnelled axon TPUs — do not and raise UNIMPLEMENTED)."""
 
 from __future__ import annotations
 
+import hashlib
 import inspect
 from typing import Callable
 
@@ -50,7 +51,7 @@ _LU_CACHE_MAX = 8
 
 
 def _lu_for(pat_key, data64, M_csc):
-    key = (pat_key, hash(data64.tobytes()))
+    key = (pat_key, hashlib.sha1(data64.tobytes()).digest())
     lu = _LU_CACHE.get(key)
     if lu is None:
         lu = _spl.splu(M_csc)

@@ -103,10 +103,17 @@ def _dia_plan(A, backend: str):
     if backend not in ("auto", "dia"):
         return None
     rs, cs = A.row_sa(), A.col_sa()
-    if rs is None or cs is None or rs.arr.ndim != 1:
-        return None
-    n, m = A.mat_shape
-    return build_dia_plan(rs, cs, n, m)
+    plan = None
+    if rs is not None and cs is not None and rs.arr.ndim == 1:
+        n, m = A.mat_shape
+        plan = build_dia_plan(rs, cs, n, m)
+    if plan is None and backend == "dia":
+        raise ValueError(
+            "backend='dia' requires a static 2-D diagonal-structured "
+            "pattern (<=256 diagonal offsets covering >=70% of nnz); "
+            "this pattern does not qualify — use backend='auto' for "
+            "automatic dispatch")
+    return plan
 
 
 def _pallas_ok(A, p: int, backend: str) -> bool:

@@ -104,7 +104,7 @@ def lsmr(A, b, *, rmatvec: Optional[Callable] = None,
     zeta = jnp.zeros((k,), rdtype)
     d = jnp.zeros((k,), rdtype)
     normA2 = alpha * alpha
-    maxrbar = jnp.zeros((k,), dtype)
+    maxrbar = jnp.zeros((k,), rdtype)
     minrbar = jnp.full((k,), 1e30, rdtype)
     normr = beta
 
