@@ -139,6 +139,22 @@ def test_scipy_solver_guards(key):
         scipy_solver("cg")(spd, B)
 
 
+def test_scipy_eager_no_callback(key, monkeypatch):
+    """Concrete operands must take the direct host path — no pure_callback
+    machinery — so the solver works on runtimes without send/recv
+    (tunnelled axon TPUs)."""
+    def boom(*a, **k):
+        raise AssertionError("pure_callback must not run for concrete "
+                             "operands")
+    monkeypatch.setattr(jax, "pure_callback", boom)
+    spd = make_spd_sparse(key, N, N + 2 * N)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (N,))
+    x = sparse_solve_scipy(spd, b, method="spsolve")
+    ref = jnp.linalg.solve(spd.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
 def test_scipy_multirhs_direct(key):
     spd = make_spd_sparse(key, N, N + 2 * N)
     B = jax.random.normal(jax.random.fold_in(key, 1), (N, 3))
@@ -146,6 +162,43 @@ def test_scipy_multirhs_direct(key):
     ref = jnp.linalg.solve(spd.todense(), B)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_cupy_bindings_roundtrip(key):
+    """Converter family parity (reference cupy_bindings.py:98-259); on a
+    TPU host the module dispatch resolves to (numpy, scipy.sparse)."""
+    import scipy.sparse as sps
+
+    from torchsparsegradutils_tpu.interop.cupy_bindings import (
+        _get_array_modules, c2j_coo, c2j_csr, j2c_coo, j2c_csr)
+
+    A = rand_sparse(key, (9, 7), 20, layout="csr")
+    xp, xs = _get_array_modules(A.data)
+    assert xp is np and xs is sps
+
+    M = j2c_csr(A)
+    assert sps.issparse(M) and M.format == "csr"
+    np.testing.assert_allclose(M.toarray(), np.asarray(A.todense()),
+                               atol=1e-6)
+    back = c2j_csr(M)
+    assert back.pattern_static
+    np.testing.assert_allclose(np.asarray(back.todense()),
+                               np.asarray(A.todense()), atol=1e-6)
+
+    C = rand_sparse(key, (9, 7), 20, layout="coo")
+    Mc = j2c_coo(C)
+    assert Mc.format == "coo"
+    back_c = c2j_coo(Mc)
+    np.testing.assert_allclose(np.asarray(back_c.todense()),
+                               np.asarray(C.todense()), atol=1e-6)
+    # canonical-order invariant survives the round trip
+    np.testing.assert_array_equal(back_c.rows_np(), C.rows_np())
+    np.testing.assert_array_equal(back_c.cols_np(), C.cols_np())
+
+    with pytest.raises(TypeError, match="expects a SparseCSR"):
+        j2c_csr(C)
+    with pytest.raises(TypeError, match="expects a scipy/cupy sparse"):
+        c2j_coo(np.ones((3, 3)))
 
 
 def test_jax_sparse_roundtrip(key):

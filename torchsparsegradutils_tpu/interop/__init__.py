@@ -15,4 +15,8 @@ def __getattr__(name):
     if name in _torch_names:
         from . import torch_bridge
         return getattr(torch_bridge, name)
+    _cupy_names = {"have_cupy", "j2c_csr", "c2j_csr", "j2c_coo", "c2j_coo"}
+    if name in _cupy_names:
+        from . import cupy_bindings
+        return getattr(cupy_bindings, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

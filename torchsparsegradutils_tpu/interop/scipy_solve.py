@@ -14,9 +14,13 @@ solver never needs to be differentiable — exactly the reference's design
 point (the solver is a black box; only ``A x = B`` at the solution
 matters).
 
-Platform note: host callbacks require a runtime with send/recv support
-(standard CPU/GPU/TPU runtimes have it; some experimental PJRT plugins —
-e.g. tunnelled axon TPUs — do not and raise UNIMPLEMENTED)."""
+Platform note: *traced* host callbacks (inside ``jit``) require a runtime
+with send/recv support (standard CPU/GPU/TPU runtimes have it; some
+experimental PJRT plugins — e.g. tunnelled axon TPUs — do not and raise
+UNIMPLEMENTED).  With concrete operands (the normal eager call) the solve
+runs directly on host with no callback machinery, so
+``sparse_solve_scipy`` works on those runtimes too — just don't wrap it
+in ``jit`` there."""
 
 from __future__ import annotations
 
@@ -138,9 +142,20 @@ def _make_scipy_solver(method: str, transpose: bool,
                 x = x[:, None]
             return x.astype(np.asarray(Bh).dtype)
 
-        x = jax.pure_callback(
-            host_solve, jax.ShapeDtypeStruct(B2.shape, B2.dtype),
-            A.data, B2)
+        # Eager host path: with concrete operands (outside jit) the solve
+        # runs directly on host — no send/recv needed, so this works on
+        # runtimes whose PJRT plugin lacks host callbacks (tunnelled axon
+        # TPUs).  Inside jit the traced path uses pure_callback, which
+        # needs a standard runtime.
+        import jax.numpy as jnp
+        if not (isinstance(A.data, jax.core.Tracer)
+                or isinstance(B2, jax.core.Tracer)):
+            out = host_solve(np.asarray(A.data), np.asarray(B2))
+            x = jnp.asarray(out)
+        else:
+            x = jax.pure_callback(
+                host_solve, jax.ShapeDtypeStruct(B2.shape, B2.dtype),
+                A.data, B2)
         return x[:, 0] if was_vec else x
 
     return solve
