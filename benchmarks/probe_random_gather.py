@@ -6,19 +6,24 @@ only trustworthy timing mode on the tunnelled chip — see
 ``benchmark_utils.measure_chained``) around ONE primitive of the random
 SpMM pipeline, so the pipeline's cost model can be decomposed:
 
-  stream         read (nnz, p) f32 at HBM stream speed (the ceiling)
+  stream_read    read (nnz, p) f32 at HBM stream speed (the ceiling)
   gather_csr     random B-row gather in CSR entry order (the fwd's core)
-  gather_sorted  same rows, column-sorted order (monotone, x25 repeats)
+  gather_sorted  same rows, column-sorted order (monotone, ~25x repeats)
   gather_unique  monotone near-dense gather (the "Bu" rank-stream)
   gather_bf16    random gather at half row bytes
   gather_p64     random gather at 256-byte rows (transaction effect)
   scalar_gather  p=1 value gather (the Krylov matvec's core)
+  gather_mat     gather whose result must also be written back to HBM
   spmm_auto      current sparse_mm forward (pallas chunk path)
   spmm_xla       gather + sorted segment_sum forward
+  spmv_p1        current SpMV forward
+  seg_sorted     sorted row-wise scatter-add of (nnz, p) rows
   seg_unsorted   unsorted scatter-add (the transpose/backward primitive)
 
-Run on the real chip: ``python -m benchmarks.probe_random_gather``
-(add ``--small`` for a CPU smoke run).  Prints one JSON line per probe.
+Run on the real chip one probe per process (the tunnel wedges multi-hour
+processes): ``for p in ...; do python -m benchmarks.probe_random_gather
+--only $p; done``.  ``--small`` runs a CPU smoke pass.  Prints one JSON
+line per probe.
 """
 
 import argparse
@@ -27,6 +32,11 @@ import sys
 import time
 
 import numpy as np
+
+ALL = ["stream_read", "gather_csr", "gather_sorted", "gather_unique",
+       "gather_bf16", "gather_p64", "scalar_gather",
+       "scalar_gather_sorted", "gather_mat", "spmm_auto", "spmm_xla",
+       "spmv_p1", "seg_sorted", "seg_unsorted"]
 
 
 def chain(step, x0, rep=20, n_meas=4):
@@ -64,6 +74,7 @@ def report(name, ms, bytes_moved=None, note=""):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--only", default=None, choices=ALL)
     args = ap.parse_args()
 
     import jax
@@ -74,103 +85,95 @@ def main():
     n = 12_344 if args.small else 123_440
     nnz = 300_000 if args.small else 3_087_898
     p = 128
-    print(f"backend={jax.default_backend()} n={n} nnz={nnz} p={p}",
-          file=sys.stderr)
+    sel = [args.only] if args.only else ALL
+    print(f"backend={jax.default_backend()} n={n} nnz={nnz} p={p} "
+          f"probes={sel}", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     rows = np.sort(rng.integers(0, n, nnz)).astype(np.int32)
     cols_in_row = rng.integers(0, n, nnz).astype(np.int32)  # CSR-ish order
-    cols_sorted = np.sort(cols_in_row)
-    uniq = np.unique(cols_sorted)
 
     key = jax.random.PRNGKey(0)
     B = jax.random.normal(key, (n, p), jnp.float32)
-    Bh = B.astype(jnp.bfloat16)
-    val = jax.random.normal(key, (nnz,), jnp.float32)
-    x1 = jax.random.normal(key, (n,), jnp.float32)
-    big = jax.random.normal(key, (nnz, p), jnp.float32)
-
-    idx_csr = jnp.asarray(cols_in_row)
-    idx_sort = jnp.asarray(cols_sorted)
-    idx_uniq = jnp.asarray(uniq)
-    rows_j = jnp.asarray(rows)
-
     eps = jnp.float32(1e-12)
 
     def dep(acc, s):
         return acc.at[(0,) * acc.ndim].add(
             (eps * s.astype(jnp.float32)).astype(acc.dtype))
 
-    # --- stream ceiling ---
-    ms, cs = chain(lambda a: dep(a, a.sum()), big)
-    report("stream_read", ms, nnz * p * 4, f"compile {cs:.0f}s")
+    def run(name):
+        if name == "stream_read":
+            big = jax.random.normal(key, (nnz, p), jnp.float32)
+            ms, cs = chain(lambda a: dep(a, a.sum()), big)
+            report(name, ms, nnz * p * 4, f"compile {cs:.0f}s")
+        elif name in ("gather_csr", "gather_sorted", "gather_unique",
+                      "gather_bf16"):
+            if name == "gather_sorted":
+                idx = jnp.asarray(np.sort(cols_in_row))
+            elif name == "gather_unique":
+                idx = jnp.asarray(np.unique(cols_in_row))
+            else:
+                idx = jnp.asarray(cols_in_row)
+            src = B.astype(jnp.bfloat16) if name == "gather_bf16" else B
+            nb = idx.shape[0] * src.shape[1] * src.dtype.itemsize
+            ms, cs = chain(lambda a: dep(a, jnp.take(
+                a, idx, axis=0).sum()), src)
+            report(name, ms, nb, f"compile {cs:.0f}s")
+        elif name == "gather_p64":
+            idx = jnp.asarray(cols_in_row)
+            B64 = B[:, :64]
+            ms, cs = chain(lambda a: dep(a, jnp.take(
+                a, idx, axis=0).sum()), B64)
+            report(name, ms, nnz * 64 * 4, f"compile {cs:.0f}s")
+        elif name in ("scalar_gather", "scalar_gather_sorted"):
+            idx = jnp.asarray(np.sort(cols_in_row) if "sorted" in name
+                              else cols_in_row)
+            x1 = jax.random.normal(key, (n,), jnp.float32)
+            ms, cs = chain(lambda a: dep(a, jnp.take(a, idx).sum()), x1)
+            report(name, ms, nnz * 4, f"compile {cs:.0f}s")
+        elif name == "gather_mat":
+            idx = jnp.asarray(cols_in_row)
+            big = jnp.zeros((nnz, p), jnp.float32)
 
-    # --- gathers (consumed by a fused sum; no HBM write of the result) ---
-    for name, src, idx in [
-        ("gather_csr", B, idx_csr),
-        ("gather_sorted", B, idx_sort),
-        ("gather_unique", B, idx_uniq),
-        ("gather_bf16", Bh, idx_csr),
-    ]:
-        nb = idx.shape[0] * src.shape[1] * src.dtype.itemsize
-        ms, cs = chain(lambda a, s=src, i=idx: dep(a, jnp.take(
-            s + a[0, 0] * eps, i, axis=0).sum()), src)
-        report(name, ms, nb, f"compile {cs:.0f}s")
+            def mat_step(st):
+                a, g_prev = st
+                g = jnp.take(a, idx, axis=0) + g_prev[0, 0] * eps
+                return a.at[0, 0].add(eps * g[0, 0]), g
 
-    # 256-byte rows: does halving the row size halve throughput?
-    B64 = B[:, :64]
-    ms, cs = chain(lambda a: dep(a, jnp.take(a, idx_csr, axis=0).sum()),
-                   B64)
-    report("gather_p64", ms, nnz * 64 * 4, f"compile {cs:.0f}s")
+            ms, cs = chain(mat_step, (B, big))
+            report(name, ms, nnz * p * 4 * 2,
+                   f"compile {cs:.0f}s; bytes = gather read + write")
+        elif name in ("spmm_auto", "spmm_xla", "spmv_p1"):
+            from torchsparsegradutils_tpu import SparseCSR, sparse_mm
+            val = jax.random.normal(key, (nnz,), jnp.float32)
+            indptr = np.zeros(n + 1, np.int64)
+            np.add.at(indptr, rows + 1, 1)
+            np.cumsum(indptr, out=indptr)
+            order = np.lexsort((cols_in_row, rows))
+            A = SparseCSR(indptr.astype(np.int32), cols_in_row[order],
+                          val, (n, n))
+            if name == "spmv_p1":
+                from torchsparsegradutils_tpu.solvers.common import (
+                    as_matvec)
+                mv = as_matvec(A)
+                x1 = jax.random.normal(key, (n,), jnp.float32)
+                ms, cs = chain(lambda b: b + eps * mv(b), x1)
+            else:
+                bk = name.split("_")[1]
+                ms, cs = chain(
+                    lambda b: b + eps * sparse_mm(A, b, backend=bk), B)
+            report(name, ms, None, f"compile {cs:.0f}s")
+        elif name in ("seg_sorted", "seg_unsorted"):
+            idx = jnp.asarray(rows if name == "seg_sorted" else cols_in_row)
+            big = jax.random.normal(key, (nnz, p), jnp.float32)
+            ms, cs = chain(
+                lambda a: dep(a, jax.ops.segment_sum(
+                    big * (1 + a[0, 0] * eps), idx,
+                    num_segments=n).sum()), B)
+            report(name, ms, nnz * p * 4, f"compile {cs:.0f}s")
 
-    # --- p=1 scalar gathers (Krylov matvec core) ---
-    ms, cs = chain(lambda a: dep(a, jnp.take(a, idx_csr).sum()), x1)
-    report("scalar_gather", ms, nnz * 4, f"compile {cs:.0f}s")
-    ms, cs = chain(lambda a: dep(a, jnp.take(a, idx_sort).sum()), x1)
-    report("scalar_gather_sorted", ms, nnz * 4, f"compile {cs:.0f}s")
-
-    # --- gather that must be materialized (feeds a pallas-like consumer):
-    # write (nnz,p) out as well ---
-    def mat_step(a):
-        g = jnp.take(B + a[0, 0] * eps, idx_csr, axis=0)
-        return a.at[0, 0].add(eps * g.sum()), g
-
-    ms, cs = chain(lambda st: mat_step(st[0]), (B, big))
-    report("gather_materialized", ms, nnz * p * 4 * 2,
-           f"compile {cs:.0f}s; logical bytes = read+write")
-
-    # --- full forwards ---
-    from torchsparsegradutils_tpu import SparseCSR
-    from torchsparsegradutils_tpu.solvers.common import as_matvec
-    indptr = np.zeros(n + 1, np.int64)
-    np.add.at(indptr, rows + 1, 1)
-    np.cumsum(indptr, out=indptr)
-    order = np.lexsort((cols_in_row, rows))
-    A = SparseCSR(indptr.astype(np.int32),
-                  cols_in_row[order], val, (n, n))
-
-    from torchsparsegradutils_tpu import sparse_mm
-    for backend in ("auto", "xla"):
-        ms, cs = chain(
-            lambda b, bk=backend: b + eps * sparse_mm(A, b, backend=bk), B)
-        report(f"spmm_{backend}", ms, None, f"compile {cs:.0f}s")
-
-    # SpMV p=1 (takes the XLA vector path today)
-    mv = as_matvec(A)
-    ms, cs = chain(lambda b: b + eps * mv(b), x1)
-    report("spmv_auto_p1", ms, None, f"compile {cs:.0f}s")
-
-    # --- unsorted scatter-add of rows (the AtG/backward primitive) ---
-    ms, cs = chain(
-        lambda a: dep(a, jax.ops.segment_sum(
-            big * (1 + a[0, 0] * eps), rows_j, num_segments=n).sum()),
-        B)
-    report("seg_sorted_rows", ms, nnz * p * 4, f"compile {cs:.0f}s")
-    ms, cs = chain(
-        lambda a: dep(a, jax.ops.segment_sum(
-            big * (1 + a[0, 0] * eps), idx_csr, num_segments=n).sum()),
-        B)
-    report("seg_unsorted_rows", ms, nnz * p * 4, f"compile {cs:.0f}s")
+    for name in sel:
+        run(name)
 
 
 if __name__ == "__main__":

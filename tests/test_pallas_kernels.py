@@ -162,6 +162,48 @@ def test_pallas_lse_grad(key, layout):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_grid_lse_plan_selected(key):
+    """A balanced random pattern must take the ELL-grid LSE path; a
+    degree-skewed one must fall back to the chunk kernel (grid plan gate
+    n*K > 8*nnz) — both paths stay correct."""
+    from torchsparsegradutils_tpu.kernels.grid_lse import (
+        build_ell_grid_plan)
+    from torchsparsegradutils_tpu.utils import rand_sparse
+
+    sp = rand_sparse(key, (40, 30), 160, layout="csr")
+    assert build_ell_grid_plan(sp.row_sa(), sp.col_sa(), 40, 30) is not None
+
+    # skew: one row holds 60 of 70 entries -> K=60, n*K=2400 > 8*70
+    row = np.concatenate([np.zeros(60, np.int64),
+                          np.arange(1, 11, dtype=np.int64)])
+    col = np.concatenate([np.arange(60, dtype=np.int64),
+                          np.arange(10, dtype=np.int64)])
+    data = jnp.asarray(np.random.default_rng(0).normal(size=70)
+                       ).astype(jnp.float32)
+    skew = SparseCOO(row, col, data, (40, 64))
+    assert build_ell_grid_plan(skew.row_sa(), skew.col_sa(), 40, 64) is None
+    for sp_i in (sp, skew):
+        for iz in (True, False):
+            out_p = sparse_logsumexp(sp_i, 1, include_zeros=iz,
+                                     backend="pallas")
+            out_x = sparse_logsumexp(sp_i, 1, include_zeros=iz,
+                                     backend="xla")
+            a, b = np.asarray(out_p), np.asarray(out_x)
+            fin = np.isfinite(b)
+            assert (np.isfinite(a) == fin).all()
+            np.testing.assert_allclose(a[fin], b[fin], rtol=1e-5,
+                                       atol=1e-6)
+
+        def loss(d, backend, sp_i=sp_i):
+            out = sparse_logsumexp(sp_i.with_data(d), 1, backend=backend)
+            return jnp.where(jnp.isfinite(out), out, 0.0).sum()
+
+        g_p = jax.grad(lambda d: loss(d, "pallas"))(sp_i.data)
+        g_x = jax.grad(lambda d: loss(d, "xla"))(sp_i.data)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_pallas_lse_inf_values(layout):
     row = np.array([0, 0, 1])
     col = np.array([0, 1, 1])

@@ -144,14 +144,17 @@ def lse_fn_transposed(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
     ``(fn, perm)`` where ``fn(take(data, perm))`` gives the (m,) result,
     or None."""
     from .. import native
+    from .grid_lse import grid_lse_fn
     rows = rows_sa.arr.astype(np.int64)
     cols = cols_sa.arr.astype(np.int64)
     if rows.ndim != 1 or len(rows) == 0:
         return None
     perm = native.lexsort_rowcol(cols, rows, n)
-    fn = lse_fn(StaticArray(np.ascontiguousarray(cols[perm])),
-                StaticArray(np.ascontiguousarray(rows[perm])), m, n,
-                include_zeros)
+    rt = StaticArray(np.ascontiguousarray(cols[perm]))
+    ct = StaticArray(np.ascontiguousarray(rows[perm]))
+    fn = grid_lse_fn(rt, ct, m, n, include_zeros)
+    if fn is None:
+        fn = lse_fn(rt, ct, m, n, include_zeros)
     if fn is None:
         return None
     return fn, perm

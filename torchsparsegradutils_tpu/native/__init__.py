@@ -52,6 +52,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32)]
+        lib.tri_levels.restype = ctypes.c_int64
+        lib.tri_levels.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
         return lib
     except Exception:  # pragma: no cover - toolchain missing
         return None
@@ -107,6 +111,37 @@ def compress_rows(sorted_rows: np.ndarray, n: int,
     indptr = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])
     return indptr.astype(dtype, copy=False)
+
+
+def tri_levels(rows: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
+    """Dependency level per row for a lower-triangular solve.
+
+    ``level[i] = 1 + max(level[j])`` over stored strictly-lower entries
+    ``(i, j)``; rows without strictly-lower entries get level 0.  Rows of
+    one level are mutually independent — the level-scheduled solve
+    processes them as one parallel stage.  Entries must be in canonical
+    row-sorted order.  Native O(nnz) scan, or a vectorised numpy
+    relaxation (one pass per level) as fallback.
+    """
+    rows64 = np.ascontiguousarray(rows, np.int64)
+    cols64 = np.ascontiguousarray(cols, np.int64)
+    lib = _lib()
+    if lib is not None:
+        lev = np.empty(n, np.int64)
+        nl = lib.tri_levels(_ptr64(rows64), _ptr64(cols64), len(rows64),
+                            int(n), _ptr64(lev))
+        if nl > 0:
+            return lev
+    mask = cols64 < rows64
+    r, c = rows64[mask], cols64[mask]
+    lev = np.zeros(n, np.int64)
+    for _ in range(n + 1):
+        new = np.zeros(n, np.int64)
+        np.maximum.at(new, r, lev[c] + 1)
+        if (new == lev).all():
+            break
+        lev = new
+    return lev
 
 
 def chunk_ranks(rows_padded: np.ndarray, C: int, n: int,

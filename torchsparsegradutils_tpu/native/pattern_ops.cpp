@@ -107,4 +107,25 @@ int64_t chunk_ranks(const int64_t* rows, int64_t nnz_pad, int64_t C,
     return maxw;
 }
 
+// Dependency levels for a lower-triangular solve (level scheduling):
+// level[i] = 1 + max(level[j]) over stored entries (i, j) with j < i, and
+// 0 for rows with no such entry.  Entries must be sorted by row (CSR
+// canonical order); entries with j >= i (diagonal/upper) are skipped.
+// rows/cols: int64[nnz]; level_out: int64[n].  Returns the number of
+// levels (max level + 1), or -1 on invalid input.
+int64_t tri_levels(const int64_t* rows, const int64_t* cols, int64_t nnz,
+                   int64_t n, int64_t* level_out) {
+    for (int64_t i = 0; i < n; ++i) level_out[i] = 0;
+    int64_t maxlev = 0;
+    for (int64_t e = 0; e < nnz; ++e) {
+        int64_t i = rows[e], j = cols[e];
+        if (i < 0 || i >= n || j < 0 || j >= n) return -1;
+        if (j >= i) continue;  // diagonal / upper part: no dependency
+        int64_t cand = level_out[j] + 1;
+        if (cand > level_out[i]) level_out[i] = cand;
+        if (level_out[i] > maxlev) maxlev = level_out[i];
+    }
+    return maxlev + 1;
+}
+
 }  // extern "C"

@@ -168,10 +168,13 @@ def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str):
 
 
 def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
-    """Pallas chunked one-pass LSE for 2-D static patterns; None if the
-    path does not apply."""
+    """Pallas one-pass LSE for 2-D static patterns; None if the path does
+    not apply.  Row direction prefers the ELL-grid streaming kernel
+    (monotone fill + fused dense reduce, kernels/grid_lse.py); the chunk
+    kernel remains for degree-skewed patterns."""
     from ..kernels import dispatch
     from ..kernels.chunk_lse import lse_fn, lse_fn_transposed
+    from ..kernels.grid_lse import grid_lse_fn
 
     if backend == "xla":
         return None
@@ -194,7 +197,9 @@ def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
             return None
         fn, perm = res
         return fn(jnp.take(A.data, jnp.asarray(perm)))
-    fn = lse_fn(rs, cs, n, m, include_zeros)
+    fn = grid_lse_fn(rs, cs, n, m, include_zeros)
+    if fn is None:
+        fn = lse_fn(rs, cs, n, m, include_zeros)
     if fn is None:
         return None
     return fn(A.data)
