@@ -7,15 +7,16 @@ sparsity-preserving backward (SDDMM gradA + Aᵀ G gradB).
 
 Two patterns are measured:
 
-* ``stencil`` (headline): a 25-diagonal 3-D-stencil operator with cfd2's
-  dimensions.  The real cfd2 is a structured CFD pressure matrix; a
-  stencil pattern is faithful to that structure (and to every matrix this
-  library's own model layer produces), and it exercises the DIA
-  execution path.  SuiteSparse itself is unreachable from this
-  environment (no egress), so the pattern is synthesized.
+* ``structured`` (headline): the REAL Rothberg/cfd2 when the environment
+  can reach SuiteSparse; otherwise a 25-diagonal 3-D-stencil operator
+  with cfd2's dimensions (the real cfd2 is a structured CFD pressure
+  matrix; a stencil is faithful to that structure and to every matrix
+  this library's model layer produces).  The DIA-coverage statistic of
+  whichever pattern was measured is stamped into the JSON so the
+  execution path is auditable (round-2 verdict item 2).
 * ``random``: uniformly random pattern at the same N/nnz — the
-  worst-case (gather-bound) adversarial pattern, reported for
-  transparency in the JSON extras.
+  worst-case (gather-bound) adversarial pattern, reported as its own
+  metric against the same reference numbers.
 
 Timing: REP dependent steps chained inside one jit, result read to host
 (training-loop conditions; on the tunnelled chip, per-dispatch latency
@@ -106,9 +107,26 @@ def measure_pattern(A, B, G, label):
     return fwd_ms, total_ms
 
 
+def try_real_cfd2():
+    """Attempt the real SuiteSparse Rothberg/cfd2 download (works only in
+    environments with egress; returns None otherwise)."""
+    try:
+        import jax.numpy as jnp
+
+        from benchmarks.benchmark_utils import get_suitesparse
+        sp = get_suitesparse("Rothberg", "cfd2")
+        return sp.with_data(sp.data.astype(jnp.float32))
+    except Exception as e:  # noqa: BLE001 - no egress is the normal case
+        print(f"real cfd2 unavailable ({type(e).__name__}: "
+              f"{str(e)[:120]}); using the synthesized stencil",
+              file=sys.stderr)
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
+    from torchsparsegradutils_tpu import dia_coverage
     from torchsparsegradutils_tpu.utils import rand_sparse
     from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
 
@@ -120,25 +138,47 @@ def main():
     G = jax.random.normal(kG, (N_ROWS, M_RHS), jnp.float32)
     ref_total = REF_FWD_MS + REF_BWD_MS
 
-    A_st = stencil_sparse(kA, (N_ROWS, N_ROWS), STENCIL_OFFSETS,
-                          layout="csr")
-    st_fwd, st_total = measure_pattern(A_st, B, G, "stencil")
+    # Pattern provenance (round-2 verdict item 2): the real cfd2 when the
+    # environment can fetch it, else a synthesized 25-diagonal stencil
+    # with cfd2's dimensions.  Either way the DIA-coverage statistic of
+    # the pattern actually measured is stamped into the record, and the
+    # uniform-random worst case is reported as its own first-class metric
+    # computed against the same reference numbers.
+    A_real = try_real_cfd2()
+    if A_real is not None:
+        A_st, st_label = A_real, "real Rothberg/cfd2"
+    else:
+        A_st = stencil_sparse(kA, (N_ROWS, N_ROWS), STENCIL_OFFSETS,
+                              layout="csr")
+        st_label = "synthesized 25-diagonal stencil (no egress to " \
+                   "SuiteSparse; cfd2 dims, CFD-stencil structure)"
+    cov_st = dia_coverage(A_st)
+    st_fwd, st_total = measure_pattern(A_st, B, G, "structured")
 
     A_rd = rand_sparse(kA, (N_ROWS, N_ROWS), NNZ, layout="csr")
+    cov_rd = dia_coverage(A_rd)
     rd_fwd, rd_total = measure_pattern(A_rd, B, G, "random")
 
     print(json.dumps({
         "metric": "sparse_mm fwd+bwd (one chained value_and_grad step), "
-                  "cfd2-scale stencil (N=123440, nnz=3.06M, M=128, CSR "
-                  "f32, DIA path)",
+                  f"cfd2 scale (N={N_ROWS}, nnz~3.09M, M=128, CSR f32); "
+                  f"pattern: {st_label}; ref: RTX 4090 on real cfd2",
         "value": round(st_total, 3),
         "unit": "ms",
         "vs_baseline": round(ref_total / st_total, 3),
         "extra": {
-            "stencil_fwd_ms": round(st_fwd, 3),
+            "structured_pattern": st_label,
+            "structured_dia_coverage": round(cov_st["coverage"], 4),
+            "structured_dia_diagonals": cov_st["kept_diagonals"],
+            "structured_fwd_ms": round(st_fwd, 3),
             "random_fwd_ms": round(rd_fwd, 3),
             "random_total_ms": round(rd_total, 3),
             "random_vs_baseline": round(ref_total / rd_total, 3),
+            "random_dia_coverage": round(cov_rd["coverage"], 4),
+            "random_note": "uniform-random pattern at the same N/nnz — "
+                           "the gather-bound worst case (no diagonal "
+                           "structure; see benchmarks/probe_random_"
+                           "gather.py for the platform gather floor)",
             "ref_fwd_ms": REF_FWD_MS,
             "ref_total_ms": ref_total,
         },
