@@ -85,9 +85,24 @@ def measure_op(fn: Callable, args, n_warmup: int = 3, n_runs: int = 20,
                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
+HBM_PEAK_GBPS = 819.0  # one v5e chip (v5p: 2765); roofline_pct denominator
+
+
+def roofline_pct(bytes_moved: Optional[float],
+                 time_us: float) -> Optional[float]:
+    """% of HBM-bandwidth roofline achieved, from a bytes-moved model
+    (nnz/shape-derived minimum traffic) and a measured time."""
+    if not bytes_moved or not time_us or time_us != time_us:
+        return None
+    return round(bytes_moved / (time_us * 1e-6) / (HBM_PEAK_GBPS * 1e9)
+                 * 100.0, 1)
+
+
 def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
                     mem_fn: Optional[Callable] = None,
-                    mem_args=None) -> Dict[str, float]:
+                    mem_args=None,
+                    roofline_bytes: Optional[float] = None
+                    ) -> Dict[str, float]:
     """Per-step time of ``rep`` *dependent* steps chained in one jit.
 
     ``step: x -> x`` (same pytree structure).  This is the trustworthy
@@ -120,15 +135,19 @@ def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
                if mem_fn is not None else None)
         return {"time_us": round(mean_us, 1),
                 "time_std_us": round(std_us, 1), "mem_MB": mem,
+                "roofline_pct": roofline_pct(roofline_bytes, mean_us),
                 "error": ""}
     except Exception as e:  # noqa: BLE001 - record and continue the sweep
         return {"time_us": float("nan"), "time_std_us": float("nan"),
-                "mem_MB": float("nan"),
+                "mem_MB": float("nan"), "roofline_pct": None,
                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
 def write_csv(name: str, rows) -> str:
     os.makedirs(RESULTS_DIR, exist_ok=True)
+    # CPU smoke runs must not clobber committed real-chip results
+    if jax.default_backend() not in ("tpu", "axon"):
+        name = name.replace(".csv", ".cpu-smoke.csv")
     path = os.path.join(RESULTS_DIR, name)
     env = env_info()
     rows = [dict(r, **env) for r in rows]

@@ -27,8 +27,8 @@ STENCIL_OFFSETS = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51,
 
 
 def main(small: bool = False):
-    n = 8192 if small else 123_440
-    nnz = 120_000 if small else 3_087_898
+    n = 2048 if small else 123_440
+    nnz = 30_000 if small else 3_087_898
     key = jax.random.PRNGKey(0)
     eps = jnp.float32(1e-12)
     rows = []
@@ -46,14 +46,21 @@ def main(small: bool = False):
             ("bidir_fwd", lambda d: d + eps * sum(
                 nansum(x) for x in sparse_bidir_logsumexp(A.with_data(d)))),
         ]
+        # minimum traffic: one read of the value stream (outputs are tiny)
+        lse_bytes = 4 * A.nnz
         for name, step in cases:
-            r = measure_chained(step, A.data, rep=6, n_meas=4)
+            r = measure_chained(step, A.data, rep=6, n_meas=4,
+                                mem_fn=step, mem_args=(A.data,),
+                                roofline_bytes=lse_bytes * (
+                                    2 if "two_calls" in name
+                                    or "bidir" in name else 1))
             rows.append(dict(op=name, pattern=pattern, n=n, nnz=A.nnz, **r))
             print(rows[-1], flush=True)
         grad = jax.grad(lambda d: sum(
             nansum(x) for x in sparse_bidir_logsumexp(A.with_data(d))))
         r = measure_chained(lambda d: d + eps * grad(d), A.data,
-                            rep=6, n_meas=4)
+                            rep=6, n_meas=4,
+                            roofline_bytes=4 * lse_bytes)
         rows.append(dict(op="bidir_fwd_bwd", pattern=pattern, n=n,
                          nnz=A.nnz, **r))
         print(rows[-1], flush=True)

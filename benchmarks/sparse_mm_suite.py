@@ -22,19 +22,22 @@ from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
 from .benchmark_utils import measure_chained, write_csv
 
 N, NNZ, M = 123_440, 3_087_898, 128
+# BASELINE.md north-star scale: nnz >= 1e7 rows for the roofline claim
+N_BIG, NNZ_BIG = 400_000, 10_400_000
 STENCIL_OFFSETS = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51,
                           -51, 2401, -2401, 2449, -2449, 2450, -2450,
                           2451, -2451, 2499, -2499, 2500, -2500})
 
 
-def main(small: bool = False):
-    n, nnz, m = (8192, 120_000, 128) if small else (N, NNZ, M)
-    key = jax.random.PRNGKey(0)
+def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
     kA, kB, kG = jax.random.split(key, 3)
     B = jax.random.normal(kB, (n, m), jnp.float32)
     G = jax.random.normal(kG, (n, m), jnp.float32)
     eps = jnp.float32(1e-12)
-    rows = []
+    # bytes-moved model (minimum traffic): fwd reads vals + B, writes out;
+    # the step additionally reads G and writes (d_vals, d_B)
+    fwd_bytes = 4 * (nnz + 2 * n * m)
+    step_bytes = 4 * (2 * nnz + 5 * n * m)
 
     def run(A, pattern, layout, backends):
         for backend in backends:
@@ -45,9 +48,12 @@ def main(small: bool = False):
             def fwd_step(b):
                 return b + eps * sparse_mm(A, b, backend=backend)
 
-            r = measure_chained(fwd_step, B, rep=6, n_meas=4)
+            r = measure_chained(fwd_step, B, rep=6, n_meas=4,
+                                mem_fn=fwd_step, mem_args=(B,),
+                                roofline_bytes=fwd_bytes)
             rows.append(dict(op="sparse_mm_fwd", pattern=pattern,
-                             layout=layout, backend=backend, n=n, nnz=A.nnz,
+                             scale=scale_label, layout=layout,
+                             backend=backend, n=n, nnz=A.nnz,
                              rhs=m, **r))
             grad = jax.grad(
                 lambda d, b: (sparse_mm(A.with_data(d), b,
@@ -59,18 +65,36 @@ def main(small: bool = False):
                 gd, gb = grad(d, b)
                 return (d + eps * gd, b + eps * gb)
 
-            r = measure_chained(step, (A.data, B), rep=6, n_meas=4)
+            r = measure_chained(step, (A.data, B), rep=6, n_meas=4,
+                                mem_fn=step, mem_args=((A.data, B),),
+                                roofline_bytes=step_bytes)
             rows.append(dict(op="sparse_mm_fwd_bwd", pattern=pattern,
-                             layout=layout, backend=backend, n=n, nnz=A.nnz,
+                             scale=scale_label, layout=layout,
+                             backend=backend, n=n, nnz=A.nnz,
                              rhs=m, **r))
             print(rows[-2], rows[-1], sep="\n", flush=True)
 
-    offs = ([0, 1, -1, 9, -9, 64, -64] if small else STENCIL_OFFSETS)
     A_st = stencil_sparse(kA, (n, n), offs, layout="csr")
     run(A_st, "stencil", "csr", ("dia", "xla"))
     for layout in ("csr", "coo"):
         A = rand_sparse(kA, (n, n), nnz, layout=layout)
         run(A, "random", layout, ("pallas", "xla", "ell"))
+
+
+def main(small: bool = False, big: bool = True):
+    key = jax.random.PRNGKey(0)
+    rows = []
+    if small:
+        _run_patterns(rows, 8192, 120_000, 128,
+                      [0, 1, -1, 9, -9, 64, -64], key, "small")
+    else:
+        _run_patterns(rows, N, NNZ, M, STENCIL_OFFSETS, key, "cfd2")
+        if big:
+            # nnz >= 1e7 roofline rows (stencil DIA path + random):
+            # 26 diagonals at N=400k -> nnz ~ 1.04e7
+            offs_big = sorted(set(STENCIL_OFFSETS) | {4})
+            _run_patterns(rows, N_BIG, NNZ_BIG, M, offs_big,
+                          jax.random.fold_in(key, 7), "nnz1e7")
     write_csv("sparse_mm_suite_results.csv", rows)
 
 

@@ -48,8 +48,9 @@ def run_matrix(A, b, label, rows, n, nnz):
     for name, solver, kw in configs:
         fwd = lambda d, bb: sparse_generic_solve(
             A.with_data(d), bb, solve=solver, transpose_solve=solver, **kw)
-        r = measure_chained(lambda bb: bb + eps * fwd(A.data, bb), b,
-                            rep=4, n_meas=4)
+        fwd_step = lambda bb: bb + eps * fwd(A.data, bb)
+        r = measure_chained(fwd_step, b, rep=4, n_meas=4,
+                            mem_fn=fwd_step, mem_args=(b,))
         x = jax.jit(fwd)(A.data, b)
         res = float(jnp.linalg.norm(
             sparse_mm(A, x[:, None])[:, 0] - b) / jnp.linalg.norm(b))
@@ -59,8 +60,9 @@ def run_matrix(A, b, label, rows, n, nnz):
         bwd = jax.grad(lambda d, bb: (sparse_generic_solve(
             A.with_data(d), bb, solve=solver, transpose_solve=solver,
             **kw) ** 2).sum())
-        r = measure_chained(lambda d: d + eps * bwd(d, b), A.data,
-                            rep=4, n_meas=4)
+        bwd_step = lambda d: d + eps * bwd(d, b)
+        r = measure_chained(bwd_step, A.data, rep=4, n_meas=4,
+                            mem_fn=bwd_step, mem_args=(A.data,))
         rows.append(dict(op="solve_bwd", algorithm=name, matrix=label,
                          n=n, nnz=nnz, rel_residual=None, **r))
         print(rows[-1], flush=True)

@@ -38,7 +38,10 @@ def main(small: bool = False):
             return b + eps * sparse_triangular_solve(
                 A, b, upper=False, algorithm=algorithm, **kw)
 
-        r = measure_chained(fwd_step, B, rep=4, n_meas=4)
+        tri_bytes = 4 * (A.nnz + 2 * n * m)   # vals + rhs read, x write
+        r = measure_chained(fwd_step, B, rep=4, n_meas=4,
+                            mem_fn=fwd_step, mem_args=(B,),
+                            roofline_bytes=tri_bytes)
         rows.append(dict(op="tri_solve_fwd", pattern=pattern,
                          algorithm=algorithm, n=n, nnz=A.nnz, rhs=m, **r))
         grad = jax.grad(lambda d, b: (sparse_triangular_solve(
@@ -48,7 +51,9 @@ def main(small: bool = False):
         def bwd_step(d):
             return d + eps * grad(d, B)
 
-        r = measure_chained(bwd_step, A.data, rep=4, n_meas=4)
+        r = measure_chained(bwd_step, A.data, rep=4, n_meas=4,
+                            mem_fn=bwd_step, mem_args=(A.data,),
+                            roofline_bytes=3 * tri_bytes)
         rows.append(dict(op="tri_solve_fwd_bwd", pattern=pattern,
                          algorithm=algorithm, n=n, nnz=A.nnz, rhs=m, **r))
         print(rows[-2], rows[-1], sep="\n", flush=True)

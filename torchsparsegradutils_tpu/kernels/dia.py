@@ -67,6 +67,9 @@ HYBRID_MIN_COVER = 0.7   # diagonals must cover >= this nnz fraction
 LANE = 128
 VMEM_BUDGET = 10 * 1024 * 1024
 MIN_P_PALLAS = 8         # below this RHS width the XLA vector path wins
+UNROLL = 4               # diagonals per fori group in the halo kernels:
+#                          one acc read-modify-write per group, UNROLL
+#                          live slice buffers on the Mosaic stack
 
 
 @dataclass(frozen=True, eq=False)  # id-hash: ndarray fields + vjp nondiff arg
@@ -328,7 +331,8 @@ def _tiling(offsets: np.ndarray, K: int, out_rows: int, p_pad: int,
     span_pad = -(-(int(s_rel[-1]) + 8) // 8) * 8
     for R_T in (2048, 1024, 512, 256, 128):
         halo_bytes = (R_T + span_pad) * p_pad * 4 * n_halos
-        io_bytes = R_T * p_pad * 4 * 3 + R_T * K * 4 * 3
+        io_bytes = (R_T * p_pad * 4 * (3 + UNROLL)
+                    + R_T * K * 4 * 3)
         if halo_bytes + io_bytes <= VMEM_BUDGET:
             ntiles = -(-out_rows // R_T)
             return R_T, ntiles, s_al, s_rel, src_pad_lo, span_pad
@@ -400,18 +404,30 @@ def _spmm_core_pallas(offsets: np.ndarray, n: int, m: int, grid_v, B):
         v = v_ref[...].astype(jnp.float32)
         dma(step, slot).wait()
 
-        # fori_loop with *dynamic* slices: one live slice buffer, where an
-        # unrolled SSA chain would stack K shifted copies (VMEM OOM at
-        # K ~ 25).  The v column is read with a constant-index lane gather
-        # (dynamic lane *slicing* must be 128-aligned; gathers need not).
-        def body(k, _):
-            vcol = jnp.take_along_axis(
-                v, jnp.full((R_T, K), k, jnp.int32), axis=1)[:, :1]
-            acc[...] = acc[...] + vcol * halo[
-                slot, pl.ds(s_ref[k], R_T), :].astype(jnp.float32)
+        # fori_loop over GROUPS of UNROLL diagonals with *dynamic* slices:
+        # a fully unrolled SSA chain would stack K shifted copies (VMEM
+        # OOM at K ~ 25), while a group keeps only UNROLL live buffers and
+        # pays the accumulator read-modify-write and the v-column
+        # extraction once per group instead of once per diagonal.  The v
+        # columns are read with constant-index lane gathers (dynamic lane
+        # *slicing* must be 128-aligned; gathers need not).
+        ngroups = -(-K // UNROLL)
+
+        def body(q, _):
+            k0 = q * UNROLL
+            contrib = None
+            for j in range(UNROLL):
+                k = jnp.minimum(k0 + j, K - 1)
+                live = (k0 + j < K).astype(jnp.float32)
+                vcol = jnp.take_along_axis(
+                    v, jnp.full((R_T, K), k, jnp.int32), axis=1)[:, :1]
+                c = (vcol * live) * halo[
+                    slot, pl.ds(s_ref[k], R_T), :].astype(jnp.float32)
+                contrib = c if contrib is None else contrib + c
+            acc[...] = acc[...] + contrib
             return 0
 
-        jax.lax.fori_loop(0, K, body, 0)
+        jax.lax.fori_loop(0, ngroups, body, 0)
         out_ref[...] = acc[...].astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
