@@ -290,6 +290,134 @@ def plot_vs_reference_summary():
     _save(fig, "vs_reference_summary.png")
 
 
+SUITE_CSVS = [
+    "sparse_mm_suite_results.csv",
+    "sparse_generic_solve_suite_results.csv",
+    "sparse_triangular_solve_results.csv",
+    "sparse_logsumexp_suitesparse_results.csv",
+    "sparse_mm_rand_results.csv",
+    "sparse_logsumexp_rand_results.csv",
+    "batched_sparse_mm_rand_results.csv",
+    "sparse_triangular_solve_rand_results.csv",
+    "sparse_generic_solve_rand_results.csv",
+]
+
+_TABLE_COLS = ["op", "pattern", "matrix", "algorithm", "layout", "backend",
+               "n", "nnz", "rhs", "time_us", "time_std_us", "mem_MB",
+               "roofline_pct", "rel_residual", "error"]
+
+
+def render_results_tables():
+    """Write results/SUMMARY.md: one readable table per suite CSV, with
+    environment provenance — the reference's rendered result tables
+    (visualize_benchmark_results.py table panels), as markdown."""
+    out = [
+        "# Benchmark results summary",
+        "",
+        "Auto-generated by `python -m benchmarks.visualize_results` from",
+        "the CSVs in this directory.  Failed rows keep their error class",
+        "(the reference's OOM-annotation convention).",
+        "",
+    ]
+    for name in SUITE_CSVS:
+        rows = _read(name)
+        if not rows:
+            continue
+        env = rows[0].get("device", "") or rows[0].get("backend_env", "")
+        jaxv = rows[0].get("jax", "")
+        cols = [c for c in _TABLE_COLS
+                if any((r.get(c) or "") != "" for r in rows)]
+        out.append(f"## {name}")
+        if env or jaxv:
+            out.append(f"*device: {env or '?'}; jax {jaxv or '?'}*")
+        out.append("")
+        out.append("| " + " | ".join(cols) + " |")
+        out.append("|" + "---|" * len(cols))
+        for r in rows:
+            cells = []
+            for c in cols:
+                v = (r.get(c) or "").strip()
+                if c == "error" and v:
+                    v = v.split(":")[0]
+                cells.append(v if v else "—")
+            out.append("| " + " | ".join(cells) + " |")
+        out.append("")
+    path = os.path.join(RESULTS_DIR, "SUMMARY.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("wrote", path)
+
+
+def plot_memory():
+    """Peak compiled memory per op where recorded, against the
+    reference's backward peaks (5.11 GB sparse bwd; 58.1 GB dense OOM)."""
+    bars = []
+    for name in SUITE_CSVS:
+        for r in _read(name) or []:
+            try:
+                mem = float(r.get("mem_MB") or "nan")
+            except ValueError:
+                continue
+            if not math.isfinite(mem) or mem <= 0:
+                continue
+            label = "/".join(filter(None, [
+                r.get("op", ""), r.get("pattern", r.get("matrix", "")),
+                r.get("backend", r.get("algorithm", ""))]))
+            bars.append((label, mem))
+    if not bars:
+        return
+    bars = bars[:24]
+    fig, ax = plt.subplots(figsize=(11, 4.5))
+    ax.bar(range(len(bars)), [b[1] for b in bars],
+           color=PALETTE["stencil"])
+    ax.axhline(5110, color=PALETTE["reference"], ls="--", lw=1)
+    ax.text(0.1, 5110, "ref sparse bwd peak (5.11 GB)", fontsize=7,
+            va="bottom")
+    ax.axhline(58132, color="#aa3333", ls=":", lw=1)
+    ax.text(0.1, 58132, "ref dense-grad OOM request (58.1 GB)", fontsize=7,
+            va="bottom")
+    ax.set_yscale("log")
+    ax.set_xticks(range(len(bars)))
+    ax.set_xticklabels([b[0] for b in bars], rotation=35, ha="right",
+                       fontsize=6.5)
+    ax.set_ylabel("compiled temp+output MB (log)")
+    ax.set_title("peak compiled memory per op (XLA memory analysis)",
+                 fontsize=10)
+    _save(fig, "memory_per_op.png")
+
+
+def plot_roofline():
+    """% of HBM roofline achieved, where a bytes-moved model exists."""
+    bars = []
+    for name in SUITE_CSVS:
+        for r in _read(name) or []:
+            try:
+                pct = float(r.get("roofline_pct") or "nan")
+            except ValueError:
+                continue
+            if not math.isfinite(pct) or pct <= 0:
+                continue
+            label = "/".join(filter(None, [
+                r.get("op", ""), r.get("pattern", ""),
+                r.get("backend", r.get("algorithm", "")),
+                r.get("scale", "")]))
+            bars.append((label, pct))
+    if not bars:
+        return
+    fig, ax = plt.subplots(figsize=(11, 4.2))
+    ax.bar(range(len(bars)), [b[1] for b in bars],
+           color=PALETTE["stencil"])
+    ax.axhline(70, color="#aa3333", ls="--", lw=1)
+    ax.text(0.1, 70, "BASELINE.md target (70%)", fontsize=7, va="bottom")
+    ax.set_xticks(range(len(bars)))
+    ax.set_xticklabels([b[0] for b in bars], rotation=35, ha="right",
+                       fontsize=6.5)
+    ax.set_ylabel("% of HBM roofline")
+    ax.set_title("bytes-moved model / measured time vs v5e HBM peak",
+                 fontsize=10)
+    _save(fig, "roofline_per_op.png")
+
+
 def main():
     plot_sparse_mm()
     plot_solve()
@@ -301,6 +429,9 @@ def main():
                  "sparse_logsumexp_rand_results.csv",
                  "sparse_logsumexp over random sizes")
     plot_vs_reference_summary()
+    plot_memory()
+    plot_roofline()
+    render_results_tables()
 
 
 if __name__ == "__main__":
