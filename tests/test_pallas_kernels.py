@@ -39,6 +39,26 @@ def test_pallas_fwd_wide_rhs(key, layout):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_spmv_p1(key, layout):
+    """p=1 takes the chunk-SpMV kernel (scatter-free combine): forward,
+    transpose and gradients must match XLA."""
+    A = _mk(key, (40, 30), 120, layout)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (30, 1))
+    out_p = sparse_mm(A, x, backend="pallas")
+    out_x = sparse_mm(A, x, backend="xla")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(d, b, backend):
+        return (sparse_mm(A.with_data(d), b, backend=backend) ** 2).sum()
+
+    for arg in (0, 1):
+        g_p = jax.grad(loss, argnums=arg)(A.data, x, "pallas")
+        g_x = jax.grad(loss, argnums=arg)(A.data, x, "xla")
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_sddmm(key, layout):
     A = _mk(key, (20, 25), 60, layout)
     X = jax.random.normal(jax.random.fold_in(key, 1), (20, 7))

@@ -212,6 +212,49 @@ def chunk_spmm(plan: ChunkPlan, data, B, pg=None):
     return _combine(plan, partial_out, p)
 
 
+def chunk_spmv(plan: ChunkPlan, data, x):
+    """A @ x for a vector x (n,): the p=1 Krylov-matvec core.
+
+    The XLA fallback at p=1 costs ~49 ms at cfd2 scale on a v5e
+    (measured, benchmarks/probe_random_gather.py: ~22 ms scalar gather +
+    ~25 ms scalar segment scatter).  This kernel keeps the gather (the
+    platform floor for per-entry access) but replaces the scatter with
+    the chunk one-hot row reduction on the MXU plus one short sorted
+    segment-sum over ``nchunks*W`` partials — ~2x the XLA path.
+    """
+    SB, C, W = plan.SB, plan.C, plan.W
+    if plan.perm is not None:
+        data = jnp.take(data, as_device_array(plan.perm))
+    vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
+    xg = jnp.take(x, as_device_array(plan.gather_idx)).reshape(
+        plan.nchunks, C)
+    grid = (plan.nchunks // SB,)
+    spec_c = pl.BlockSpec((SB, C), lambda s: (s, 0),
+                          memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((SB, W), lambda s: (s, 0),
+                          memory_space=pltpu.VMEM)
+
+    def kernel(lr_ref, vals_ref, xg_ref, out_ref):
+        for i in range(SB):
+            l = lr_ref[i]
+            prod = vals_ref[i] * xg_ref[i]
+            M = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+                == l[None, :], prod[None, :], 0.0)
+            out_ref[i] = M.sum(axis=1).astype(out_ref.dtype)
+
+    partial_out = pl.pallas_call(
+        kernel, grid=grid, in_specs=[spec_c, spec_c, spec_c],
+        out_specs=spec_w,
+        out_shape=jax.ShapeDtypeStruct((plan.nchunks, W), x.dtype),
+        interpret=interpret_mode(),
+    )(as_device_array(plan.lr), vals, xg)
+    seg = as_device_array(plan.seg_rows).reshape(-1)
+    out = jax.ops.segment_sum(partial_out.reshape(-1), seg,
+                              num_segments=plan.n + 1)
+    return out[:plan.n]
+
+
 def chunk_sddmm(plan: ChunkPlan, X, Y):
     """Values (nnz,) of (X @ Yᵀ) at the pattern, natural entry order.
 

@@ -57,6 +57,7 @@ from ..kernels.chunk_spmm import (
     chunk_sddmm,
     chunk_spmm,
     chunk_spmm_bwd_fused,
+    chunk_spmv,
 )
 from ..kernels.dia import (
     build_dia_plan,
@@ -148,10 +149,24 @@ def _fallback_sddmm(row, col, X, Y):
             * jnp.take(Y, jnp.asarray(col), axis=0)).sum(-1)
 
 
+def _spmv_ok(A, p: int, backend: str) -> bool:
+    """p=1 matvec via the chunk-SpMV kernel (scatter-free combine)."""
+    if p != 1:
+        return False
+    if backend == "pallas":
+        return True
+    return (backend == "auto" and dispatch.on_tpu()
+            and A.dtype in (jnp.float32, jnp.bfloat16))
+
+
 def _spmm_forward(backend, A, B):
     dplan = _dia_plan(A, backend)
     if dplan is not None:
         return dia_spmm(dplan, A.data, B)
+    if _spmv_ok(A, B.shape[-1], backend):
+        plan = _chunk_plan(A, backend)
+        if plan is not None:
+            return chunk_spmv(plan, A.data, B[:, 0])[:, None]
     if _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         if plan is not None:
@@ -187,6 +202,10 @@ def _spmm_transpose(backend, A, G):
     dplan = _dia_plan(A, backend)
     if dplan is not None:
         return dia_spmm_transpose(dplan, A.data, G)
+    if _spmv_ok(A, G.shape[-1], backend):
+        plan_t = _chunk_plan(A, backend, transpose=True)
+        if plan_t is not None:
+            return chunk_spmv(plan_t, A.data, G[:, 0])[:, None]
     if backend == "ell":
         _, cp = _plans(A, backend)
         if cp is not None:
