@@ -37,24 +37,39 @@ def main(small: bool = False):
         def nansum(x):
             return jnp.where(jnp.isfinite(x), x, 0.0).sum()
 
+        # NOTE on the two-call baseline: the reference's comparison point
+        # is two *separate* sparse_logsumexp launches (its benchmark
+        # measures dim=0 and dim=1 independently and the README sums
+        # them).  Two calls inside ONE jit are CSE'd by XLA into exactly
+        # the bidir computation, which would make the comparison
+        # trivially 1.0x — so the baseline here is dim0-only plus
+        # dim1-only, each its own chained measurement, summed in the CSV
+        # as lse_two_calls_fwd.
         cases = [
             ("lse_dim1_fwd", lambda d: d + eps * nansum(
                 sparse_logsumexp(A.with_data(d), 1))),
-            ("lse_two_calls_fwd", lambda d: d + eps * (
-                nansum(sparse_logsumexp(A.with_data(d), 0))
-                + nansum(sparse_logsumexp(A.with_data(d), 1)))),
+            ("lse_dim0_fwd", lambda d: d + eps * nansum(
+                sparse_logsumexp(A.with_data(d), 0))),
             ("bidir_fwd", lambda d: d + eps * sum(
                 nansum(x) for x in sparse_bidir_logsumexp(A.with_data(d)))),
         ]
         # minimum traffic: one read of the value stream (outputs are tiny)
         lse_bytes = 4 * A.nnz
+        per_dir = {}
         for name, step in cases:
             r = measure_chained(step, A.data, rep=6, n_meas=4,
                                 mem_fn=step, mem_args=(A.data,),
                                 roofline_bytes=lse_bytes * (
-                                    2 if "two_calls" in name
-                                    or "bidir" in name else 1))
+                                    2 if "bidir" in name else 1))
             rows.append(dict(op=name, pattern=pattern, n=n, nnz=A.nnz, **r))
+            per_dir[name] = r.get("time_us")
+            print(rows[-1], flush=True)
+        if per_dir.get("lse_dim0_fwd") and per_dir.get("lse_dim1_fwd"):
+            two = per_dir["lse_dim0_fwd"] + per_dir["lse_dim1_fwd"]
+            rows.append(dict(op="lse_two_calls_fwd", pattern=pattern, n=n,
+                             nnz=A.nnz, time_us=round(two, 1),
+                             time_std_us=None, mem_MB=None,
+                             roofline_pct=None, error=""))
             print(rows[-1], flush=True)
         grad = jax.grad(lambda d: sum(
             nansum(x) for x in sparse_bidir_logsumexp(A.with_data(d))))

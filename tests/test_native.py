@@ -77,3 +77,38 @@ def _time_once(fn):
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+class TestColorBipartite:
+    """Euler-split edge coloring behind the 3-stage shuffle plans."""
+
+    @staticmethod
+    def _check_proper(src, dst, colors, R, d):
+        assert colors.min() >= 0 and colors.max() < d
+        n = len(src)
+        assert len(np.unique(src * d + colors)) == n
+        assert len(np.unique(dst * d + colors)) == n
+
+    @pytest.mark.parametrize("R,d", [(3, 2), (5, 8), (64, 128), (311, 128)])
+    def test_native_proper(self, R, d):
+        rng = np.random.default_rng(R * d)
+        perm = rng.permutation(R * d)
+        src, dst = perm // d, np.arange(R * d) // d
+        colors = native.color_bipartite(src, dst, R, d)
+        assert colors is not None
+        self._check_proper(src, dst, colors, R, d)
+
+    def test_python_fallback_proper(self):
+        rng = np.random.default_rng(7)
+        R, d = 17, 16
+        perm = rng.permutation(R * d)
+        src, dst = perm // d, np.arange(R * d) // d
+        colors = native._color_bipartite_py(
+            src.astype(np.int64), dst.astype(np.int64), R, d)
+        self._check_proper(src, dst, colors, R, d)
+
+    def test_rejects_non_power_of_two(self):
+        src = np.zeros(3, np.int64)
+        dst = np.zeros(3, np.int64)
+        assert native.color_bipartite(src, dst, 1, 3) is None \
+            or not native.available()

@@ -273,3 +273,52 @@ def test_fast_grad_precision(key, layout):
                                rtol=1e-4, atol=1e-5)  # gradA exact
     np.testing.assert_allclose(np.asarray(gB_f), np.asarray(gB_e),
                                rtol=3e-2, atol=3e-2)  # gradB bf16-class
+
+
+class TestShuffle:
+    """3-stage static permutation (kernels/shuffle.py)."""
+
+    @pytest.mark.parametrize("n", [5, 128, 3000, 50_000])
+    def test_forward_matches_take(self, n):
+        import jax.numpy as jnp
+        from torchsparsegradutils_tpu.kernels.shuffle import (
+            build_shuffle_plan, shuffle_values)
+        rng = np.random.default_rng(n)
+        perm = rng.permutation(n)
+        plan = build_shuffle_plan(perm, n)
+        assert plan is not None
+        v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        out = shuffle_values(plan, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(v)[perm])
+
+    def test_vjp_is_inverse_scatter(self):
+        import jax
+        import jax.numpy as jnp
+        from torchsparsegradutils_tpu.kernels.shuffle import (
+            build_shuffle_plan, shuffle_values)
+        rng = np.random.default_rng(3)
+        n = 4096
+        perm = rng.permutation(n)
+        plan = build_shuffle_plan(perm, n)
+        v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        w = rng.standard_normal(n).astype(np.float32)
+        g = jax.grad(lambda d: jnp.vdot(
+            shuffle_values(plan, d), jnp.asarray(w)))(v)
+        want = np.zeros(n, np.float32)
+        want[perm] = w
+        np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6)
+
+    def test_jit_and_shape_check(self):
+        import jax
+        import jax.numpy as jnp
+        from torchsparsegradutils_tpu.kernels.shuffle import (
+            build_shuffle_plan, shuffle_values)
+        rng = np.random.default_rng(4)
+        n = 257
+        perm = rng.permutation(n)
+        plan = build_shuffle_plan(perm, n)
+        v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        out = jax.jit(lambda d: shuffle_values(plan, d))(v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(v)[perm])
+        with pytest.raises(ValueError, match="expected shape"):
+            shuffle_values(plan, v[:-1])

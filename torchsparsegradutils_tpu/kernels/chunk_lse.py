@@ -141,10 +141,16 @@ def _lse_bwd_pass(plan: ChunkPlan, data, out, g):
 def lse_fn_transposed(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
                       m: int, include_zeros: bool):
     """Column-wise LSE = row-wise LSE of the transpose: returns
-    ``(fn, perm)`` where ``fn(take(data, perm))`` gives the (m,) result,
-    or None."""
+    ``(fn, reorder)`` where ``fn(reorder(data))`` gives the (m,) result,
+    or None.  ``reorder`` moves values to CSC order: off-TPU through the
+    3-stage shuffle plan (kernels/shuffle.py); on TPU a flat ``jnp.take``
+    — at ~22 ms per 3M values that is the measured per-scalar relayout
+    floor of the platform (no Mosaic primitive routes values between
+    vector registers; see the shuffle module docstring)."""
     from .. import native
     from .grid_lse import grid_lse_fn
+    from .shuffle import build_shuffle_plan, shuffle_values
+    from .chunk_spmm import interpret_mode
     rows = rows_sa.arr.astype(np.int64)
     cols = cols_sa.arr.astype(np.int64)
     if rows.ndim != 1 or len(rows) == 0:
@@ -157,7 +163,18 @@ def lse_fn_transposed(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
         fn = lse_fn(rt, ct, m, n, include_zeros)
     if fn is None:
         return None
-    return fn, perm
+    splan = (build_shuffle_plan(perm, len(perm))
+             if interpret_mode() else None)
+    if splan is not None:
+        def reorder(data, _p=splan):
+            return shuffle_values(_p, data)
+    else:
+        perm_dev = as_device_array(perm)
+
+        def reorder(data, _p=perm_dev):
+            return jnp.take(data, _p)
+
+    return fn, reorder
 
 
 @lru_cache(maxsize=256)

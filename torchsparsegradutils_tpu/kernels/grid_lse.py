@@ -87,26 +87,58 @@ def build_ell_grid_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
                        fill_plan=fill_plan, unfill_plan=unfill_plan)
 
 
-def _grid_row_lse(plan: EllGridPlan, grid, include_zeros: bool):
-    """Masked row-LSE over the (n, K) grid; same semantics as
-    ``dia._dia_lse``'s reduce."""
-    valid = jnp.asarray((plan.src_of_grid >= 0).reshape(plan.n, plan.K))
-    cnt = jnp.asarray(plan.counts)
-    X = jnp.where(valid, grid, NEG_INF)
-    Mv = jnp.max(X, axis=1)
-    nz = plan.m - cnt                            # structural zeros per row
+UNROLL_K_MAX = 64
+
+
+def masked_lse_kn(XT, validT, counts, width: int, include_zeros: bool):
+    """Masked LSE over axis 0 of a ``(K, n)`` value grid.
+
+    The grids are built ``(n, K)`` (row-major fill order), but reducing
+    over a short non-lane-aligned minor axis makes XLA relayout every
+    pass (measured 5-8 ms for a 12 MB stream on v5e); transposed to
+    ``(K, n)`` the same reduction is K-1 fused elementwise maxima over
+    clean ``(n,)`` vectors and runs at stream speed.  Semantics match the
+    reference ``_scatter_logsumexp`` (sparse_logsumexp.py:10-73): empty
+    groups -> -inf, structural zeros contribute ``exp(0)`` when
+    ``include_zeros``, +inf passes through, max-shift detached.
+
+    XT: (K, n) values; validT: (K, n) bool (static); counts: (n,) stored
+    entries per group; width: group size in the reduced direction.
+    """
+    K = XT.shape[0]
+    if K <= UNROLL_K_MAX:
+        Mv = jnp.where(validT[0], XT[0], NEG_INF)
+        for k in range(1, K):
+            Mv = jnp.maximum(Mv, jnp.where(validT[k], XT[k], NEG_INF))
+    else:
+        Mv = jnp.max(jnp.where(validT, XT, NEG_INF), axis=0)
+    nz = width - counts                       # structural zeros per group
     if include_zeros:
         M = jnp.where(nz > 0, jnp.maximum(Mv, 0.0), Mv)
     else:
         M = Mv
     Ms = jax.lax.stop_gradient(jnp.where(jnp.isfinite(M), M, 0.0))
-    S = jnp.where(valid, jnp.exp(X - Ms[:, None]), 0.0).sum(axis=1)
+    if K <= UNROLL_K_MAX:
+        S = jnp.where(validT[0], jnp.exp(XT[0] - Ms), 0.0)
+        for k in range(1, K):
+            S = S + jnp.where(validT[k], jnp.exp(XT[k] - Ms), 0.0)
+    else:
+        S = jnp.where(validT, jnp.exp(XT - Ms[None, :]), 0.0).sum(axis=0)
     if include_zeros:
         S = S + jnp.where(nz > 0, nz.astype(S.dtype) * jnp.exp(-Ms), 0.0)
     empty = S == 0.0
     out = jnp.where(empty, NEG_INF,
                     Ms + jnp.log(jnp.where(empty, 1.0, S)))
     return jnp.where(Mv == jnp.inf, jnp.inf, out)
+
+
+def _grid_row_lse(plan: EllGridPlan, grid, include_zeros: bool):
+    """Masked row-LSE over the (n, K) grid; same semantics as
+    ``dia._dia_lse``'s reduce."""
+    validT = jnp.asarray(
+        (plan.src_of_grid >= 0).reshape(plan.n, plan.K).T.copy())
+    cnt = jnp.asarray(plan.counts)
+    return masked_lse_kn(grid.T, validT, cnt, plan.m, include_zeros)
 
 
 @lru_cache(maxsize=256)
@@ -133,12 +165,13 @@ def grid_lse_fn(rows_sa: StaticArray, cols_sa: StaticArray, n: int, m: int,
     def bwd(res, g):
         data, out = res
         # d_v[e] = exp(v_e - out[row_e]) * g[row_e]; computed on the grid
-        # (holes produce garbage that the inverse compaction drops).
-        grid = fill(data)
+        # (holes produce garbage that the inverse compaction drops).  The
+        # broadcast/exponential runs in (K, n) layout — see masked_lse_kn.
+        gridT = fill(data).T
         safe = jnp.isfinite(out)
-        oute = jnp.where(safe, out, 0.0)[:, None]
-        ge = jnp.where(safe, g, 0.0)[:, None]
-        d_grid = jnp.exp(grid - oute) * ge
+        oute = jnp.where(safe, out, 0.0)
+        ge = jnp.where(safe, g, 0.0)
+        d_grid = (jnp.exp(gridT - oute[None, :]) * ge[None, :]).T
         flat = d_grid.reshape(-1)
         if plan.unfill_plan is not None and _use_pallas_grid(flat.dtype):
             d_data = window_gather(plan.unfill_plan, flat)

@@ -1,0 +1,162 @@
+"""3-stage static permutation (shuffle) of value streams.
+
+A general static permutation of ``nnz`` values — the CSR→CSC value
+reorder behind column-direction ops, the transpose-SpMM value prep —
+costs ~22 ms at 3M entries as an XLA flat gather on the v5e (per-scalar
+HBM transactions).  This module routes the same permutation as three
+axis-local stages over an ``(R, 128)`` layout:
+
+    stage 1: permute within each row     (lane gather)
+    stage 2: permute within each column  (sublane routing)
+    stage 3: permute within each row     (lane gather)
+
+Classic 3-stage Clos/mesh routing: model each element as an edge from
+its source row to its destination row in a bipartite multigraph (128
+edges per node).  By Kőnig's theorem the graph has a proper
+128-edge-coloring (computed host-side by recursive Euler splitting,
+:func:`..native.color_bipartite`); the color is the element's
+intermediate lane, which makes every stage collision-free.  Each stage's
+gather indices vary along one axis only, so the whole permutation runs
+at a few streaming passes instead of per-element transactions.
+
+The reference has no analogue (torch's ``index_select`` handles arbitrary
+gathers natively on GPU, e.g. sparse_matmul.py:201-205); this exists
+because the TPU's vector ISA has no scattered HBM access.
+
+Plans are built from static patterns host-side and cached; application
+is differentiable (the VJP applies the inverse plan, built by inverting
+each stage's index arrays — no second coloring pass).
+
+**Measured outcome on a real v5e (benchmarks/probe_shuffle_pallas.py)**:
+Mosaic's ``dynamic_gather`` is strictly vreg-local — a lane gather may
+only source lanes of the *same* 8x128 vector register ("Multiple source
+vregs along gather dimension" otherwise).  Stages 1/3 (lane gathers on
+(8,128) tiles) compile and run at ~1.5 ms each at 3M entries, but the
+middle stage routes values *between* rows, which no Mosaic primitive
+covers: the transpose-sandwiched wide lane gather does not compile, and
+XLA's ``take_along_axis`` lowers to a generic gather (3-stage XLA total
+71 ms — worse than one flat 22 ms ``jnp.take``).  The 3-stage plan is
+therefore used off-TPU only (where it is exact and tested); on TPU every
+caller uses the flat take, whose ~22 ms at 3M entries is the platform's
+per-scalar relayout floor.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import StaticArray
+
+LANE = 128
+
+
+@dataclass(frozen=True, eq=False)  # id-hash: ndarray fields, vjp nondiff arg
+class ShufflePlan:
+    """Index arrays for one 3-stage application; ``inverse`` is built
+    lazily by :func:`invert_plan`."""
+    n: int                 # logical length (un-padded)
+    R: int                 # rows of the (R, 128) routing layout
+    idx1: np.ndarray       # (R, 128) int32 lane gather
+    idx2: np.ndarray       # (R, 128) int32 per-column source row
+    idx3: np.ndarray       # (R, 128) int32 lane gather
+
+
+def build_shuffle_plan(perm: np.ndarray, n: int) -> Optional[ShufflePlan]:
+    """Plan for ``out[i] = v[perm[i]]``; ``perm`` must be a permutation of
+    ``[0, n)``.  Returns None when the edge-coloring is unavailable
+    (no native library at large nnz) — callers fall back to ``jnp.take``.
+    """
+    from .. import native
+
+    perm = np.ascontiguousarray(perm, np.int64)
+    if perm.shape != (n,):
+        raise ValueError("build_shuffle_plan: perm must be (n,)")
+    R = -(-n // LANE)
+    npad = R * LANE
+    # complete to a bijection on the padded slots: tail dest slots read the
+    # tail source slots (identity on the padding)
+    perm_pad = np.concatenate(
+        [perm, np.arange(n, npad, dtype=np.int64)])
+    src = perm_pad // LANE                 # source row per dest slot
+    dst = np.arange(npad, dtype=np.int64) // LANE
+    colors = native.color_bipartite(src, dst, R, LANE)
+    if colors is None:
+        return None
+    colors = colors.astype(np.int64)
+    # after stage 1 the element sits at (src_row, color): within each
+    # source row all colors are distinct (proper coloring)
+    idx1 = np.empty((R, LANE), np.int32)
+    idx1[src, colors] = (perm_pad % LANE).astype(np.int32)
+    # stage 2 moves it to (dst_row, color) within its lane
+    idx2 = np.empty((R, LANE), np.int32)
+    idx2[dst, colors] = src.astype(np.int32)
+    # stage 3 moves it to its final lane within the dest row
+    idx3 = np.empty((R, LANE), np.int32)
+    idx3[dst, np.arange(npad) % LANE] = colors.astype(np.int32)
+    return ShufflePlan(n=n, R=R, idx1=idx1, idx2=idx2, idx3=idx3)
+
+
+@lru_cache(maxsize=256)
+def _inverse_plan(plan: ShufflePlan) -> ShufflePlan:
+    """Invert each stage: the inverse permutation is
+    stage1⁻¹ ∘ stage2⁻¹ ∘ stage3⁻¹ — again three axis-local stages."""
+    inv1 = np.argsort(plan.idx1, axis=1).astype(np.int32)
+    inv2 = np.argsort(plan.idx2, axis=0).astype(np.int32)
+    inv3 = np.argsort(plan.idx3, axis=1).astype(np.int32)
+    # forward: y = S3(S2(S1 x)) with S1,S3 lane stages and S2 the sublane
+    # stage; inverse: x = S1⁻¹(S2⁻¹(S3⁻¹ y)) = a plan whose stage order is
+    # (lane inv3, sublane inv2, lane inv1)
+    return ShufflePlan(n=plan.n, R=plan.R, idx1=inv3, idx2=inv2, idx3=inv1)
+
+
+_TILE = 512
+
+
+def _apply_stages(plan: ShufflePlan, x: jax.Array) -> jax.Array:
+    npad = plan.R * LANE
+    flat = x.ravel()
+    if npad != plan.n:
+        flat = jnp.pad(flat, (0, npad - plan.n))
+    y = flat.reshape(plan.R, LANE)
+    y = jnp.take_along_axis(y, jnp.asarray(plan.idx1), axis=1)
+    y = jnp.take_along_axis(y, jnp.asarray(plan.idx2), axis=0)
+    y = jnp.take_along_axis(y, jnp.asarray(plan.idx3), axis=1)
+    return y.reshape(-1)[:plan.n]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _shuffle(plan: ShufflePlan, x):
+    return _apply_stages(plan, x)
+
+
+def _shuffle_fwd(plan, x):
+    return _shuffle(plan, x), None
+
+
+def _shuffle_bwd(plan, _, ct):
+    return (_apply_stages(_inverse_plan(plan), ct),)
+
+
+_shuffle.defvjp(_shuffle_fwd, _shuffle_bwd)
+
+
+def shuffle_values(plan: ShufflePlan, x: jax.Array) -> jax.Array:
+    """Apply ``out[i] = x[perm[i]]`` via the 3-stage plan (differentiable:
+    the VJP applies the inverse plan)."""
+    if x.shape != (plan.n,):
+        raise ValueError(
+            f"shuffle_values: expected shape ({plan.n},), got {x.shape}")
+    return _shuffle(plan, x)
+
+
+@lru_cache(maxsize=256)
+def cached_shuffle_plan(perm_sa: StaticArray, n: int) -> \
+        Optional[ShufflePlan]:
+    """Content-hash-cached plan from a :class:`StaticArray` permutation."""
+    return build_shuffle_plan(perm_sa.arr, n)

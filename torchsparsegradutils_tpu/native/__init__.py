@@ -56,6 +56,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.tri_levels.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.color_bipartite.restype = ctypes.c_int
+        lib.color_bipartite.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
         return lib
     except Exception:  # pragma: no cover - toolchain missing
         return None
@@ -142,6 +147,74 @@ def tri_levels(rows: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
             break
         lev = new
     return lev
+
+
+def color_bipartite(src: np.ndarray, dst: np.ndarray, R: int,
+                    d: int) -> Optional[np.ndarray]:
+    """Proper d-edge-coloring of a d-regular bipartite multigraph.
+
+    ``src``/``dst``: per-edge endpoint indices in ``[0, R)``; ``d`` (a
+    power of two) is the uniform degree.  Returns an int32 color per edge
+    in ``[0, d)`` such that no two edges sharing a left or right endpoint
+    get the same color (Kőnig), or None without the native library (the
+    pure-python Euler walk is only viable for test-sized inputs).
+    """
+    if d <= 0 or (d & (d - 1)) != 0:
+        return None
+    src64 = np.ascontiguousarray(src, np.int64)
+    dst64 = np.ascontiguousarray(dst, np.int64)
+    ne = len(src64)
+    lib = _lib()
+    if lib is not None:
+        colors = np.empty(ne, np.int32)
+        if lib.color_bipartite(_ptr64(src64), _ptr64(dst64), ne, int(R),
+                               int(d), _ptr32(colors)) == 0:
+            return colors
+    if ne > 600_000:
+        return None
+    return _color_bipartite_py(src64, dst64, int(R), int(d))
+
+
+def _color_bipartite_py(src, dst, R, d):
+    """Pure-python Euler-split coloring (test fallback)."""
+    colors = np.zeros(len(src), np.int32)
+
+    def split(edges, bit):
+        if not len(edges) or bit < 0:
+            return
+        inc = [[] for _ in range(2 * R)]
+        for t, e in enumerate(edges):
+            inc[src[e]].append(t)
+            inc[R + dst[e]].append(t)
+        cursor = [0] * (2 * R)
+        used = np.zeros(len(edges), bool)
+        half = np.zeros(len(edges), bool)
+        for t0 in range(len(edges)):
+            if used[t0]:
+                continue
+            x = src[edges[t0]]
+            t, side = t0, False
+            while True:
+                used[t] = True
+                half[t] = side
+                e = edges[t]
+                x = R + dst[e] if x < R else src[e]
+                side = not side
+                lst = inc[x]
+                c = cursor[x]
+                while c < len(lst) and used[lst[c]]:
+                    c += 1
+                cursor[x] = c
+                if c >= len(lst):
+                    break
+                t = lst[c]
+        a, b = edges[~half], edges[half]
+        colors[b] |= 1 << bit
+        split(a, bit - 1)
+        split(b, bit - 1)
+
+    split(np.arange(len(src), dtype=np.int64), int(d).bit_length() - 2)
+    return colors
 
 
 def chunk_ranks(rows_padded: np.ndarray, C: int, n: int,

@@ -128,4 +128,92 @@ int64_t tri_levels(const int64_t* rows, const int64_t* cols, int64_t nnz,
     return maxlev + 1;
 }
 
+// 2^k-edge-coloring of a d-regular bipartite multigraph by recursive
+// Euler splitting, for the 3-stage shuffle (static permutation) plans:
+// elements of an (R, 128)-laid-out permutation are edges source-row ->
+// dest-row; a proper 128-edge-coloring assigns each element an
+// intermediate lane such that stage 1 (within-source-row) and stage 2
+// (within-lane) moves are collision-free (Konig: the chromatic index of
+// a bipartite multigraph equals its max degree).  src/dst: int64[nedges]
+// in [0, R); d = max degree, must be a power of two; color_out:
+// int32[nedges] in [0, d).  Returns 0 on success, -1 on invalid input.
+static void euler_split(const int64_t* src, const int64_t* dst, int64_t R,
+                        const std::vector<int64_t>& edges, int bit,
+                        std::vector<int32_t>& color,
+                        std::vector<int64_t>& scratch_ptr,
+                        std::vector<int64_t>& scratch_inc,
+                        std::vector<int64_t>& cursor,
+                        std::vector<uint8_t>& used) {
+    const int64_t ne = static_cast<int64_t>(edges.size());
+    if (ne == 0 || bit < 0) return;
+    // incidence lists over 2R vertices (left u, right R + v)
+    const int64_t nv = 2 * R;
+    scratch_ptr.assign(nv + 1, 0);
+    for (int64_t t = 0; t < ne; ++t) {
+        const int64_t e = edges[t];
+        ++scratch_ptr[src[e] + 1];
+        ++scratch_ptr[R + dst[e] + 1];
+    }
+    for (int64_t v = 0; v < nv; ++v) scratch_ptr[v + 1] += scratch_ptr[v];
+    scratch_inc.resize(2 * ne);
+    cursor.assign(nv, 0);
+    for (int64_t v = 0; v < nv; ++v) cursor[v] = scratch_ptr[v];
+    for (int64_t t = 0; t < ne; ++t) {
+        const int64_t e = edges[t];
+        scratch_inc[cursor[src[e]]++] = t;       // local edge index
+        scratch_inc[cursor[R + dst[e]]++] = t;
+    }
+    for (int64_t v = 0; v < nv; ++v) cursor[v] = scratch_ptr[v];
+    used.assign(ne, 0);
+    std::vector<int64_t> half_a, half_b;
+    half_a.reserve(ne / 2 + 1);
+    half_b.reserve(ne / 2 + 1);
+    // walk Euler circuits, alternating edges between the two halves
+    for (int64_t t0 = 0; t0 < ne; ++t0) {
+        if (used[t0]) continue;
+        int64_t x = src[edges[t0]];
+        int side = 0;
+        int64_t t = t0;
+        for (;;) {
+            used[t] = 1;
+            const int64_t e = edges[t];
+            if (side == 0) half_a.push_back(e); else half_b.push_back(e);
+            // move to the other endpoint of edge e
+            x = (x < R) ? R + dst[e] : src[e];
+            side ^= 1;
+            // find next unused incident edge at x
+            int64_t c = cursor[x];
+            const int64_t end = scratch_ptr[x + 1];
+            while (c < end && used[scratch_inc[c]]) ++c;
+            cursor[x] = c;
+            if (c >= end) break;                  // circuit closed
+            t = scratch_inc[c];
+        }
+    }
+    if (bit == 0) {
+        for (int64_t e : half_b) color[e] |= 1;
+        return;
+    }
+    for (int64_t e : half_b) color[e] |= (1 << bit);
+    euler_split(src, dst, R, half_a, bit - 1, color, scratch_ptr,
+                scratch_inc, cursor, used);
+    euler_split(src, dst, R, half_b, bit - 1, color, scratch_ptr,
+                scratch_inc, cursor, used);
+}
+
+int color_bipartite(const int64_t* src, const int64_t* dst, int64_t nedges,
+                    int64_t R, int64_t d, int32_t* color_out) {
+    if (nedges <= 0 || R <= 0 || d <= 0 || (d & (d - 1)) != 0) return -1;
+    int bit = 0;  // log2(d): position of d's single set bit
+    for (int64_t x = d; x > 1; x >>= 1) ++bit;
+    std::vector<int32_t> color(nedges, 0);
+    std::vector<int64_t> edges(nedges);
+    for (int64_t e = 0; e < nedges; ++e) edges[e] = e;
+    std::vector<int64_t> sp, si, cur;
+    std::vector<uint8_t> used;
+    euler_split(src, dst, R, edges, bit - 1, color, sp, si, cur, used);
+    std::memcpy(color_out, color.data(), nedges * sizeof(int32_t));
+    return 0;
+}
+
 }  // extern "C"

@@ -144,27 +144,12 @@ def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str):
                 valid_T[lo_s:hi_s, kT] = valid[lo_s - off:hi_s - off, k]
         valid = valid_T
         width = n
-        n_out = m
     else:
         width = m
-        n_out = n
-    vmask = jnp.asarray(valid)
+    from ..kernels.grid_lse import masked_lse_kn
+    vmaskT = jnp.asarray(valid.T.copy())
     cnt = jnp.asarray(valid.sum(axis=1))
-    X = jnp.where(vmask, grid, -jnp.inf)
-    Mv = jnp.max(X, axis=1)
-    nz = width - cnt                      # structural zeros per group
-    if include_zeros:
-        M = jnp.where(nz > 0, jnp.maximum(Mv, 0.0), Mv)
-    else:
-        M = Mv
-    Ms = jax.lax.stop_gradient(jnp.where(jnp.isfinite(M), M, 0.0))
-    S = jnp.where(vmask, jnp.exp(X - Ms[:, None]), 0.0).sum(axis=1)
-    if include_zeros:
-        S = S + jnp.where(nz > 0, nz.astype(S.dtype) * jnp.exp(-Ms), 0.0)
-    empty = S == 0.0
-    out = jnp.where(empty, -jnp.inf,
-                    Ms + jnp.log(jnp.where(empty, 1.0, S)))
-    return jnp.where(Mv == jnp.inf, jnp.inf, out)
+    return masked_lse_kn(grid.T, vmaskT, cnt, width, include_zeros)
 
 
 def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
@@ -195,8 +180,8 @@ def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
         res = lse_fn_transposed(rs, cs, n, m, include_zeros)
         if res is None:
             return None
-        fn, perm = res
-        return fn(jnp.take(A.data, jnp.asarray(perm)))
+        fn, reorder = res
+        return fn(reorder(A.data))
     fn = grid_lse_fn(rs, cs, n, m, include_zeros)
     if fn is None:
         fn = lse_fn(rs, cs, n, m, include_zeros)
