@@ -577,6 +577,10 @@ def _dia_sddmm_grid_xla(plan: DiaPlan, X, Y):
 def _spmm_core(offsets, n, m, grid_v, B):
     if (B.shape[1] >= MIN_P_PALLAS
             and B.dtype in (jnp.float32, jnp.bfloat16)):
+        from .dia_mxu import spmm_core_mxu
+        out = spmm_core_mxu(offsets, n, m, grid_v, B)
+        if out is not None:
+            return out
         out = _spmm_core_pallas(offsets, n, m, grid_v, B)
         if out is not None:
             return out
@@ -627,7 +631,10 @@ def dia_sddmm(plan: DiaPlan, X: jax.Array, Y: jax.Array) -> jax.Array:
     d_v[r, k] = dot(X[r, :], Y[r + off_k, :]) (+ residual gather-dots)."""
     grid = None
     if _pallas_ok(plan, X.shape[1], X.dtype):
-        grid = _dia_sddmm_pallas(plan, X, Y)
+        from .dia_mxu import sddmm_core_mxu
+        grid = sddmm_core_mxu(plan.offsets, plan.n, plan.m, X, Y)
+        if grid is None:
+            grid = _dia_sddmm_pallas(plan, X, Y)
     if grid is None:
         grid = _dia_sddmm_grid_xla(plan, X, Y)
     vals = grid_to_values(plan, grid)

@@ -79,6 +79,7 @@ class _TriPlan:
     ell_sel: np.ndarray
     ell_cols: np.ndarray
     nnz: int
+    val_gather: object = None
 
 
 @lru_cache(maxsize=256)
@@ -117,13 +118,15 @@ def _build_tri_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
     ell_sel[off_rows, slot] = off_sel
     ell_cols[off_rows, slot] = cols[off_sel]
 
+    ell_sel3 = ell_sel.reshape(nblk, nb, K)
     return _TriPlan(n=n, nb=nb, nblk=nblk,
                     diag_sel=diag_sel.astype(np.int32),
                     diag_bi=diag_bi.astype(np.int32),
                     diag_ri=diag_ri.astype(np.int32),
                     diag_ci=diag_ci.astype(np.int32),
-                    ell_sel=ell_sel.reshape(nblk, nb, K),
-                    ell_cols=ell_cols.reshape(nblk, nb, K), nnz=nnz)
+                    ell_sel=ell_sel3,
+                    ell_cols=ell_cols.reshape(nblk, nb, K), nnz=nnz,
+                    val_gather=_make_val_gather(ell_sel3, nnz))
 
 
 def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
@@ -146,9 +149,9 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
         ci = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
         eye_pad = jnp.where((ri == ci) & (ri >= first_pad), 1.0, 0.0)
         D = D.at[nblk - 1].add(eye_pad.astype(dtype))
-    data_ext = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
-    vals = jnp.take(data_ext, as_device_array(plan.ell_sel).reshape(-1)
-                    ).reshape(nblk, nb, K)
+    # take with an inverse-gather VJP (the default scatter-add cotangent
+    # costs ~25 ms per 3M entries on v5e; the inverse gather is ~1 ms)
+    vals = plan.val_gather(data).astype(dtype)
     Bp = jnp.zeros((n_pad, p), dtype).at[:n].set(B)
     B_blocks = Bp.reshape(nblk, nb, p)
     cols_xs = as_device_array(plan.ell_cols)
@@ -181,6 +184,220 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
     xs = (offs, Dinv, vals, cols_xs, B_blocks)
     x, _ = jax.lax.scan(step, x0, xs, reverse=not lower)
     return x[:n]
+
+
+# --------------------------------------------------------------------------
+# level-scheduled wave solve
+# --------------------------------------------------------------------------
+
+def _make_val_gather(sel: np.ndarray, nnz: int):
+    """``take(data_ext, sel)`` whose VJP is a pure inverse gather.
+
+    Each data entry occupies at most one table slot, so the cotangent is
+    ``d_data[e] = ct_flat[pos(e)]`` — one static gather instead of XLA's
+    default scatter-add over the (much larger) table (measured ~25 ms per
+    3M-entry scatter on v5e; the gather is ~1 ms)."""
+    flat = sel.reshape(-1).astype(np.int64)
+    pos = np.full(nnz + 1, flat.size, np.int64)
+    pos[flat] = np.arange(flat.size)
+    inv_pos = pos[:nnz].astype(np.int32)
+    shape = sel.shape
+
+    @jax.custom_vjp
+    def f(data):
+        ext = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
+        return jnp.take(ext, as_device_array(sel).reshape(-1)
+                        ).reshape(shape)
+
+    def fwd(data):
+        return f(data), None
+
+    def bwd(_, ct):
+        flat_ct = jnp.concatenate([ct.reshape(-1),
+                                   jnp.zeros((1,), ct.dtype)])
+        return (jnp.take(flat_ct, as_device_array(inv_pos)),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@dataclass(frozen=True, eq=False)  # id-hash: ndarray fields
+class _WavePlan:
+    """Level-scheduled solve schedule (see ``_build_wave_plan``)."""
+    n: int
+    nb: int
+    gcap: int
+    S: int
+    W: int
+    P_n: int
+    perm: np.ndarray       # (n,) permuted position -> original row
+    rank: np.ndarray       # (n,) original row -> permuted position
+    offs: np.ndarray       # (S,) slab start row per step
+    diag_sel: np.ndarray   # in-block entries: data index + scatter coords
+    diag_si: np.ndarray
+    diag_gi: np.ndarray
+    diag_ri: np.ndarray
+    diag_ci: np.ndarray
+    pad_mask: np.ndarray   # (S, gcap, nb) rows with no real diagonal
+    ell_sel: np.ndarray    # (S, W, K) cross-block entry -> data index
+    ell_cols: np.ndarray   # (S, W, K) permuted source row
+    val_gather: object
+    nnz: int
+
+
+@lru_cache(maxsize=64)
+def _build_wave_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
+                     nb: int, lower: bool, gcap: int = 8) -> _WavePlan:
+    """Level-scheduled wavefront schedule for an unstructured triangular
+    solve (SURVEY §7 hard-part 1; the reference leans on cuSPARSE's
+    analysis phase instead, sparse_solve.py:176-184).
+
+    Rows are permuted into dependency-level order (levels from the native
+    ``tri_levels`` scan — rows of one level are mutually independent), the
+    permuted rows are cut into ``nb``-row blocks, and consecutive blocks
+    with no cross-block dependency among them are packed into one scan
+    step of up to ``gcap`` blocks (dependencies *within* a block are
+    absorbed by that block's dense triangular inverse).  On the cfd2-scale
+    uniform-random factor this turns 965 sequential 128-row steps into
+    ~130 slab steps — the sequential depth becomes the level depth, not
+    ``n/nb``.  Upper-triangular input is flipped to lower form for the
+    level computation; the permuted system is always block-lower.
+
+    Steps write fixed ``gcap*nb`` slabs: a step whose run is shorter
+    spills into the NEXT steps' rows, which their owners overwrite before
+    any reader uses them (blocks are processed in order and dependencies
+    only point to earlier steps) — so no masking is needed."""
+    from ..native import tri_levels
+
+    rows = rows_sa.arr.astype(np.int64).reshape(-1)
+    cols = cols_sa.arr.astype(np.int64).reshape(-1)
+    nnz = len(rows)
+    strict = (cols < rows) if lower else (cols > rows)
+    r_s, c_s = rows[strict], cols[strict]
+    if lower:
+        lev = tri_levels(r_s, c_s, n)
+    else:
+        # flip to lower form; reversing keeps the rows ascending
+        lev = tri_levels((n - 1 - r_s)[::-1], (n - 1 - c_s)[::-1], n)[::-1]
+    perm = np.argsort(lev, kind="stable")
+    rank = np.empty(n, np.int64)
+    rank[perm] = np.arange(n)
+
+    keep = strict | (rows == cols)
+    e_idx = np.nonzero(keep)[0]
+    r2 = rank[rows[e_idx]]
+    c2 = rank[cols[e_idx]]
+    nblk = -(-n // nb)
+    br, bc = r2 // nb, c2 // nb
+    cross = bc < br
+
+    maxpred = np.full(nblk, -1, np.int64)
+    if cross.any():
+        np.maximum.at(maxpred, br[cross], bc[cross])
+    steps = []
+    b = 0
+    while b < nblk:
+        s0 = b
+        while b < nblk and maxpred[b] < s0:
+            b += 1
+        b = max(b, s0 + 1)
+        for t in range(s0, b, gcap):
+            steps.append((t, min(gcap, b - t)))
+    S = len(steps)
+    W = gcap * nb
+    start_blk = np.array([s0 for s0, _ in steps], np.int64)
+    offs = (start_blk * nb).astype(np.int32)
+    P_n = int(offs[-1]) + W
+    step_of_blk = np.empty(nblk, np.int64)
+    for si, (s0, g) in enumerate(steps):
+        step_of_blk[s0:s0 + g] = si
+
+    inb = ~cross
+    diag_sel = e_idx[inb].astype(np.int32)
+    rb = br[inb]
+    d_si = step_of_blk[rb]
+    diag_gi = (rb - start_blk[d_si]).astype(np.int32)
+    diag_ri = (r2[inb] % nb).astype(np.int32)
+    diag_ci = (c2[inb] % nb).astype(np.int32)
+
+    ce = e_idx[cross]
+    rc, cc = r2[cross], c2[cross]
+    order = np.argsort(rc, kind="stable")
+    ce, rc, cc = ce[order], rc[order], cc[order]
+    counts = np.bincount(rc, minlength=nblk * nb)
+    K = max(int(counts.max()) if len(rc) else 0, 1)
+    starts_ = np.zeros(nblk * nb + 1, np.int64)
+    np.cumsum(counts, out=starts_[1:])
+    slot = np.arange(len(rc)) - starts_[rc]
+    si_r = step_of_blk[rc // nb]
+    sl = rc - offs.astype(np.int64)[si_r]
+    ell_sel = np.full((S, W, K), nnz, np.int32)
+    ell_cols = np.zeros((S, W, K), np.int32)
+    ell_sel[si_r, sl, slot] = ce
+    ell_cols[si_r, sl, slot] = cc
+
+    pad = np.ones((S, gcap, nb), bool)
+    for si, (s0, g) in enumerate(steps):
+        for gg in range(g):
+            valid = min(nb, n - (s0 + gg) * nb)
+            if valid > 0:
+                pad[si, gg, :valid] = False
+
+    return _WavePlan(n=n, nb=nb, gcap=gcap, S=S, W=W, P_n=P_n,
+                     perm=perm, rank=rank, offs=offs,
+                     diag_sel=diag_sel, diag_si=d_si.astype(np.int32),
+                     diag_gi=diag_gi, diag_ri=diag_ri, diag_ci=diag_ci,
+                     pad_mask=pad, ell_sel=ell_sel, ell_cols=ell_cols,
+                     val_gather=_make_val_gather(ell_sel, nnz), nnz=nnz)
+
+
+def _wave_tri_solve(plan: _WavePlan, data, B, *, unit: bool):
+    """Core level-scheduled solve on a 2-D rhs ``B`` (n, p)."""
+    S, gcap, nb, W = plan.S, plan.gcap, plan.nb, plan.W
+    n, P_n = plan.n, plan.P_n
+    p = B.shape[1]
+    dtype = B.dtype
+    K = plan.ell_cols.shape[-1]
+
+    D = jnp.zeros((S, gcap, nb, nb), dtype)
+    if len(plan.diag_sel):
+        D = D.at[as_device_array(plan.diag_si),
+                 as_device_array(plan.diag_gi),
+                 as_device_array(plan.diag_ri),
+                 as_device_array(plan.diag_ci)].add(
+            jnp.take(data, as_device_array(plan.diag_sel)))
+    eye = jnp.eye(nb, dtype=dtype)
+    if unit:
+        D = D + eye
+    else:
+        D = D + jnp.asarray(plan.pad_mask)[..., None] * eye
+    tril = jnp.tril(jnp.ones((nb, nb), bool))
+    D_tri = jnp.where(tril, D, 0.0)
+    Dinv = jax.scipy.linalg.solve_triangular(
+        D_tri.reshape(S * gcap, nb, nb),
+        jnp.broadcast_to(eye, (S * gcap, nb, nb)),
+        lower=True).reshape(S, gcap, nb, nb)
+
+    vals = plan.val_gather(data).astype(dtype)          # (S, W, K)
+    Bp = jnp.take(B, as_device_array(plan.perm), axis=0)
+    Bp = jnp.concatenate(
+        [Bp, jnp.zeros((P_n - n, p), dtype)], axis=0)
+    cols_xs = as_device_array(plan.ell_cols)
+    offs_xs = as_device_array(plan.offs)
+
+    def step(x, inp):
+        off_s, Dinv_s, vals_s, cols_s = inp
+        zero = jnp.zeros((), off_s.dtype)
+        B_s = jax.lax.dynamic_slice(Bp, (off_s, zero), (W, p))
+        g = jnp.take(x, cols_s.reshape(-1), axis=0).reshape(W, K, p)
+        contrib = jnp.einsum("rk,rkp->rp", vals_s, g)
+        rhs = (B_s - contrib).reshape(gcap, nb, p)
+        xb = jnp.einsum("gij,gjp->gip", Dinv_s, rhs).reshape(W, p)
+        return jax.lax.dynamic_update_slice(x, xb, (off_s, zero)), None
+
+    x0 = jnp.zeros((P_n, p), dtype)
+    x, _ = jax.lax.scan(step, x0, (offs_xs, Dinv, vals, cols_xs))
+    return jnp.take(x, as_device_array(plan.rank), axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -247,9 +464,9 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         A.pattern_static or not isinstance(
             A.rows() if isinstance(A, SparseCOO) else A.indptr_arr(),
             jax.core.Tracer))
-    if algorithm not in ("auto", "dense", "block", "dia"):
+    if algorithm not in ("auto", "dense", "block", "wave", "dia"):
         raise ValueError(f"unknown algorithm {algorithm!r}; expected "
-                         "'auto', 'dia', 'block' or 'dense'")
+                         "'auto', 'dia', 'wave', 'block' or 'dense'")
     if use_dense:
         if algorithm != "dense" and n > 2048:
             warnings.warn(
@@ -270,6 +487,16 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         nb = min(128, max(8, 1 << (n - 1).bit_length() if n < 128 else 128))
     rows = StaticArray(np.asarray(A.rows_np()))
     cols = StaticArray(np.asarray(A.cols_np()))
+    if algorithm in ("auto", "wave") and n > 256:
+        # level-scheduled wavefront: sequential depth = dependency-level
+        # depth, not n/nb.  Worth it when packing shortens the chain
+        # meaningfully vs the plain blocked scan (banded/near-sequential
+        # patterns pack poorly and stay on the blocked path).
+        wnb = min(block_size or 128, 128)
+        wplan = _build_wave_plan(rows, cols, n, wnb, not upper)
+        blocked_steps = -(-n // nb)
+        if algorithm == "wave" or wplan.S <= 0.6 * blocked_steps:
+            return _wave_tri_solve(wplan, A.data, B, unit=unit)
     plan = _build_tri_plan(rows, cols, n, nb, not upper)
     return _blocked_tri_solve(plan, A.data, B, lower=not upper, unit=unit)
 
