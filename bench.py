@@ -47,24 +47,35 @@ STENCIL_OFFSETS = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51,
 
 
 def chain_bench(step, x0, rep=40, n_meas=4):
-    """Median per-step wall-clock of `rep` dependent steps in one jit."""
+    """Median per-step wall-clock of `rep` dependent steps in one jit.
+
+    Differenced against a 2*rep chain so the fixed per-dispatch cost of
+    the tunnelled TPU (~30 ms per call: dispatch + readback) cancels
+    exactly instead of inflating the per-step figure by ~30/rep ms."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def many(x):
-        # fori_loop, not an unrolled chain: one traced copy of the step,
-        # so compile time does not scale with rep
-        return jax.lax.fori_loop(0, rep, lambda i, y: step(y), x)
+    def chain(r):
+        @jax.jit
+        def many(x):
+            # fori_loop, not an unrolled chain: one traced copy of the
+            # step, so compile time does not scale with rep
+            return jax.lax.fori_loop(0, r, lambda i, y: step(y), x)
+        return many
 
-    r = many(x0)
-    jax.block_until_ready(r)
-    _force(r)
+    many1, many2 = chain(rep), chain(2 * rep)
+    for many in (many1, many2):
+        r = many(x0)
+        jax.block_until_ready(r)
+        _force(r)
     ts = []
     for _ in range(n_meas):
         t0 = time.perf_counter()
-        _force(many(x0))
-        ts.append((time.perf_counter() - t0) / rep * 1e3)
+        _force(many1(x0))
+        t1 = time.perf_counter()
+        _force(many2(x0))
+        t2 = time.perf_counter()
+        ts.append(max((t2 - t1) - (t1 - t0), 0.0) / rep * 1e3)
     return float(np.median(ts))
 
 

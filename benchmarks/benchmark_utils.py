@@ -111,25 +111,43 @@ def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
     pure gather/stream programs (fake-fast); a data-dependent chain with
     a host read of the result has neither failure mode, and matches
     training-loop conditions.
+
+    The per-step time is the DIFFERENCE between a 2*rep-step chain and a
+    rep-step chain, which cancels the fixed per-dispatch cost exactly —
+    measured ~30 ms per call on the tunnelled v5e (dispatch + readback),
+    which at rep=8 would masquerade as ~4 ms/step of kernel time (a
+    trivial ``d + eps*d[0]`` step "measures" 3.7 ms at rep=8 and 0.47 ms
+    at rep=80; the differenced estimate is ~0.1 ms at both).
     """
     try:
-        @jax.jit
-        def many(x):
-            # fori_loop, not an unrolled chain: one traced copy of the
-            # step, so compile time does not scale with rep
-            return jax.lax.fori_loop(0, rep, lambda i, y: step(y), x)
+        def chain(r):
+            @jax.jit
+            def many(x):
+                # fori_loop, not an unrolled chain: one traced copy of
+                # the step, so compile time does not scale with rep
+                return jax.lax.fori_loop(0, r, lambda i, y: step(y), x)
+            return many
 
-        out = many(x0)
-        jax.block_until_ready(out)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf.ravel()[0])
-        times = []
-        for _ in range(n_meas):
+        many1 = chain(rep)
+        many2 = chain(2 * rep)
+
+        def timed(many):
             t0 = time.perf_counter()
             out = many(x0)
             leaf = jax.tree_util.tree_leaves(out)[0]
             np.asarray(leaf.ravel()[0])
-            times.append((time.perf_counter() - t0) * 1e6 / rep)
+            return (time.perf_counter() - t0) * 1e6
+
+        for many in (many1, many2):    # warm the compile caches
+            out = many(x0)
+            jax.block_until_ready(out)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf.ravel()[0])
+        times = []
+        for _ in range(n_meas):
+            t1 = timed(many1)
+            t2 = timed(many2)
+            times.append(max(t2 - t1, 0.0) / rep)
         mean_us, std_us = _trimmed(times)
         mem = (compiled_memory_mb(mem_fn, *mem_args)
                if mem_fn is not None else None)

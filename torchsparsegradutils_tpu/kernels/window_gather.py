@@ -49,6 +49,64 @@ PADF = max(D_CAP, Z_CAP)  # front zero-pad rows on src (compressive maps)
 
 
 @dataclass(frozen=True)
+class BigShiftPlan:
+    """Dominant-run decomposition of a monotone relayout.
+
+    Measured on v5e: the z8 kernel costs ~6 ms for the cfd2-stencil DIA
+    fill because every (8, 128) sub-chunk pays Z dynamic slices + gathers
+    + selects — yet for a *full* stencil/ELL grid ~96 % of the map is ONE
+    run with a constant shift (interior rows are a contiguous copy; only
+    boundary-truncated rows deviate).  This plan executes that run as a
+    plain XLA slice (a streaming memcpy) and routes only the short
+    boundary strips through the window kernels: ``dst[lo:hi] =
+    src[lo+shift : hi+shift]``; ``dst[:lo]`` / ``dst[hi:]`` via sub-plans
+    (or a per-scalar XLA gather when a strip is too jittery — it is
+    small)."""
+    dst_size: int
+    src_size: int
+    lo: int
+    hi: int
+    shift: int
+    top: Optional[object]          # WindowPlan | BigShiftPlan | None
+    bot: Optional[object]
+    top_map: Optional[np.ndarray]  # raw maps for the XLA strip fallback
+    bot_map: Optional[np.ndarray]
+
+
+MIN_BIGSHIFT = 4 * ZTR * 128     # below ~128K slots the kernels are fine
+
+
+def _try_build_bigshift(src_of_dst: np.ndarray, dst_size: int,
+                        src_size: int):
+    if dst_size < MIN_BIGSHIFT:
+        return None
+    m = src_of_dst
+    d = m - np.arange(dst_size)
+    valid = m >= 0
+    brk = np.ones(dst_size, bool)
+    brk[1:] = (d[1:] != d[:-1]) | ~valid[1:] | ~valid[:-1]
+    starts = np.nonzero(brk)[0]
+    lens = np.diff(np.append(starts, dst_size))
+    ok = valid[starts]
+    if not ok.any():
+        return None
+    j = int(np.argmax(np.where(ok, lens, 0)))
+    lo, ln = int(starts[j]), int(lens[j])
+    if ln < 0.5 * dst_size:
+        return None
+    hi = lo + ln
+    top = build_window_plan(m[:lo].copy(), lo, src_size) if lo else None
+    bot = (build_window_plan(m[hi:].copy(), dst_size - hi, src_size)
+           if hi < dst_size else None)
+    return BigShiftPlan(
+        dst_size=dst_size, src_size=src_size, lo=lo, hi=hi,
+        shift=int(d[lo]), top=top, bot=bot,
+        top_map=m[:lo].copy() if lo and top is None else None,
+        bot_map=(m[hi:].copy() if hi < dst_size and bot is None
+                 else None))
+
+
+@dataclass(frozen=True)
 class WindowPlan:
     """Static relayout plan (see module docstring for the two modes).
 
@@ -94,6 +152,9 @@ def build_window_plan(src_of_dst: np.ndarray, dst_size: int,
     """
     src_of_dst = np.asarray(src_of_dst, np.int64)
     assert src_of_dst.shape == (dst_size,)
+    plan = _try_build_bigshift(src_of_dst, dst_size, src_size)
+    if plan is not None:
+        return plan
     plan = _try_build_z8(src_of_dst, dst_size, src_size)
     if plan is not None:
         return plan
@@ -259,13 +320,27 @@ def _kernel_z8(Z: int, TR: int, D: int):
     return kernel
 
 
-def window_gather(plan: WindowPlan, src: jax.Array) -> jax.Array:
+def window_gather(plan, src: jax.Array) -> jax.Array:
     """Apply the relayout: returns (dst_size,) with dst[d]=src[map[d]].
 
     vmap-safe: the kernel DMAs from an ANY-space operand, which Pallas's
     batching rule cannot handle on TPU, so vmap lowers to a sequential
     scan over the batch (``custom_batching.sequential_vmap``).
     """
+    if isinstance(plan, BigShiftPlan):
+        parts = []
+        if plan.lo:
+            parts.append(window_gather(plan.top, src)
+                         if plan.top is not None else
+                         window_gather_xla(plan.top_map, src, plan.lo))
+        parts.append(jax.lax.slice_in_dim(src, plan.lo + plan.shift,
+                                          plan.hi + plan.shift))
+        if plan.hi < plan.dst_size:
+            parts.append(window_gather(plan.bot, src)
+                         if plan.bot is not None else
+                         window_gather_xla(plan.bot_map, src,
+                                           plan.dst_size - plan.hi))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     @jax.custom_batching.sequential_vmap
     def run(src):

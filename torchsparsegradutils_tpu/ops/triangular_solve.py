@@ -239,10 +239,16 @@ class _WavePlan:
     diag_ri: np.ndarray
     diag_ci: np.ndarray
     pad_mask: np.ndarray   # (S, gcap, nb) rows with no real diagonal
-    ell_sel: np.ndarray    # (S, W, K) cross-block entry -> data index
-    ell_cols: np.ndarray   # (S, W, K) permuted source row
+    ell_sel: np.ndarray    # (S, W, K1) cross-block entry -> data index
+    ell_cols: np.ndarray   # (S, W, K1) permuted source row
     val_gather: object
     nnz: int
+    # overflow tier: rows with more than K1 cross-block entries keep the
+    # excess here, scatter-added at their recorded slab positions
+    ov_pos: np.ndarray = None    # (S, Wov) slab-local row (W = pad row)
+    ov_sel: np.ndarray = None    # (S, Wov, K2)
+    ov_cols: np.ndarray = None   # (S, Wov, K2)
+    ov_val_gather: object = None
 
 
 @lru_cache(maxsize=64)
@@ -325,16 +331,49 @@ def _build_wave_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
     order = np.argsort(rc, kind="stable")
     ce, rc, cc = ce[order], rc[order], cc[order]
     counts = np.bincount(rc, minlength=nblk * nb)
-    K = max(int(counts.max()) if len(rc) else 0, 1)
+    Kmax = max(int(counts.max()) if len(rc) else 0, 1)
+    # two-level table: the base ELL width is ~the 99th-percentile degree
+    # (padding a uniform table to the max degree wastes ~3x the gathered
+    # rows — the solve is gather-transaction-bound on TPU); the few
+    # heavier rows keep their excess in a small per-step overflow tier
+    nzc = counts[counts > 0]
+    K = Kmax
+    if len(nzc) > 1024:
+        K = max(1, min(Kmax, int(np.percentile(nzc, 99.0)) + 1))
     starts_ = np.zeros(nblk * nb + 1, np.int64)
     np.cumsum(counts, out=starts_[1:])
     slot = np.arange(len(rc)) - starts_[rc]
     si_r = step_of_blk[rc // nb]
     sl = rc - offs.astype(np.int64)[si_r]
+    base = slot < K
     ell_sel = np.full((S, W, K), nnz, np.int32)
     ell_cols = np.zeros((S, W, K), np.int32)
-    ell_sel[si_r, sl, slot] = ce
-    ell_cols[si_r, sl, slot] = cc
+    ell_sel[si_r[base], sl[base], slot[base]] = ce[base]
+    ell_cols[si_r[base], sl[base], slot[base]] = cc[base]
+
+    ov_pos = ov_sel = ov_cols = ov_gather = None
+    if K < Kmax:
+        K2 = Kmax - K
+        ovf = ~base
+        # overflow rows per step, each with its slab position recorded
+        ov_rows = np.unique(np.stack([si_r[ovf], sl[ovf]], 1), axis=0)
+        wov_counts = np.bincount(ov_rows[:, 0], minlength=S)
+        Wov = max(8, -(-int(wov_counts.max()) // 8) * 8)
+        ov_slot_of = {}
+        nxt = np.zeros(S, np.int64)
+        ov_pos = np.full((S, Wov), W, np.int32)       # W -> pad row
+        for s_i, sl_i in ov_rows:
+            t = nxt[s_i]
+            nxt[s_i] += 1
+            ov_slot_of[(s_i, sl_i)] = t
+            ov_pos[s_i, t] = sl_i
+        ov_sel = np.full((S, Wov, K2), nnz, np.int32)
+        ov_cols = np.zeros((S, Wov, K2), np.int32)
+        for i in np.nonzero(ovf)[0]:
+            t = ov_slot_of[(si_r[i], sl[i])]
+            ov_sel[si_r[i], t, slot[i] - K] = ce[i]
+            ov_cols[si_r[i], t, slot[i] - K] = cc[i]
+        ov_gather = _make_val_gather(ov_sel, nnz)
 
     pad = np.ones((S, gcap, nb), bool)
     for si, (s0, g) in enumerate(steps):
@@ -348,7 +387,9 @@ def _build_wave_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
                      diag_sel=diag_sel, diag_si=d_si.astype(np.int32),
                      diag_gi=diag_gi, diag_ri=diag_ri, diag_ci=diag_ci,
                      pad_mask=pad, ell_sel=ell_sel, ell_cols=ell_cols,
-                     val_gather=_make_val_gather(ell_sel, nnz), nnz=nnz)
+                     val_gather=_make_val_gather(ell_sel, nnz), nnz=nnz,
+                     ov_pos=ov_pos, ov_sel=ov_sel, ov_cols=ov_cols,
+                     ov_val_gather=ov_gather)
 
 
 def _wave_tri_solve(plan: _WavePlan, data, B, *, unit: bool):
@@ -384,19 +425,37 @@ def _wave_tri_solve(plan: _WavePlan, data, B, *, unit: bool):
         [Bp, jnp.zeros((P_n - n, p), dtype)], axis=0)
     cols_xs = as_device_array(plan.ell_cols)
     offs_xs = as_device_array(plan.offs)
+    has_ov = plan.ov_sel is not None
+    if has_ov:
+        ov_vals = plan.ov_val_gather(data).astype(dtype)  # (S, Wov, K2)
+        ov_cols_xs = as_device_array(plan.ov_cols)
+        ov_pos_xs = as_device_array(plan.ov_pos)
+        Wov, K2 = plan.ov_pos.shape[1], plan.ov_cols.shape[-1]
 
     def step(x, inp):
-        off_s, Dinv_s, vals_s, cols_s = inp
+        if has_ov:
+            off_s, Dinv_s, vals_s, cols_s, ovv_s, ovc_s, ovp_s = inp
+        else:
+            off_s, Dinv_s, vals_s, cols_s = inp
         zero = jnp.zeros((), off_s.dtype)
         B_s = jax.lax.dynamic_slice(Bp, (off_s, zero), (W, p))
         g = jnp.take(x, cols_s.reshape(-1), axis=0).reshape(W, K, p)
         contrib = jnp.einsum("rk,rkp->rp", vals_s, g)
-        rhs = (B_s - contrib).reshape(gcap, nb, p)
+        rhs = B_s - contrib
+        if has_ov:
+            gov = jnp.take(x, ovc_s.reshape(-1), axis=0).reshape(Wov, K2, p)
+            ov = jnp.einsum("rk,rkp->rp", ovv_s, gov)
+            rhs = jnp.concatenate(
+                [rhs, jnp.zeros((1, p), dtype)], axis=0
+            ).at[ovp_s].add(-ov)[:W]
+        rhs = rhs.reshape(gcap, nb, p)
         xb = jnp.einsum("gij,gjp->gip", Dinv_s, rhs).reshape(W, p)
         return jax.lax.dynamic_update_slice(x, xb, (off_s, zero)), None
 
     x0 = jnp.zeros((P_n, p), dtype)
-    x, _ = jax.lax.scan(step, x0, (offs_xs, Dinv, vals, cols_xs))
+    xs = ((offs_xs, Dinv, vals, cols_xs, ov_vals, ov_cols_xs, ov_pos_xs)
+          if has_ov else (offs_xs, Dinv, vals, cols_xs))
+    x, _ = jax.lax.scan(step, x0, xs)
     return jnp.take(x, as_device_array(plan.rank), axis=0)
 
 
