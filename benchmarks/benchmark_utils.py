@@ -98,6 +98,44 @@ def roofline_pct(bytes_moved: Optional[float],
                  * 100.0, 1)
 
 
+def chain_diff(step: Callable, x0, rep: int = 20, n_meas: int = 4):
+    """Probe-grade differenced chain: returns (median ms/step, compile s).
+
+    Same differencing as :func:`measure_chained` (2*rep chain minus rep
+    chain cancels the fixed ~30 ms per-dispatch tunnel cost) in a plain
+    tuple shape for the micro-probe scripts."""
+    import jax
+
+    def make(r):
+        @jax.jit
+        def many(x):
+            return jax.lax.fori_loop(0, r, lambda i, y: step(y), x)
+        return many
+
+    many1, many2 = make(rep), make(2 * rep)
+    t0 = time.perf_counter()
+    for many in (many1, many2):
+        out = many(x0)
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(leaf.ravel()[0])
+    compile_s = time.perf_counter() - t0
+
+    def timed(many):
+        t1 = time.perf_counter()
+        out = many(x0)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(leaf.ravel()[0])
+        return time.perf_counter() - t1
+
+    ts = []
+    for _ in range(n_meas):
+        t1 = timed(many1)
+        t2 = timed(many2)
+        ts.append(max(t2 - t1, 0.0) / rep * 1e3)
+    return float(np.median(ts)), compile_s
+
+
 def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
                     mem_fn: Optional[Callable] = None,
                     mem_args=None,
