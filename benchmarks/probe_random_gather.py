@@ -36,11 +36,17 @@ import numpy as np
 ALL = ["stream_read", "gather_csr", "gather_sorted", "gather_unique",
        "gather_bf16", "gather_p64", "scalar_gather",
        "scalar_gather_sorted", "gather_mat", "spmm_auto", "spmm_xla",
-       "spmv_p1", "seg_sorted", "seg_unsorted"]
+       "spmv_p1", "seg_sorted", "seg_unsorted",
+       "chunk_kernel_pg", "chunk_combine"]
+
+
+_SMALL = False
 
 
 def chain(step, x0, rep=20, n_meas=4):
     from .benchmark_utils import chain_diff
+    if _SMALL:          # CPU smoke: interpret-mode Pallas is ~1000x slower
+        rep, n_meas = 1, 1
     return chain_diff(step, x0, rep=rep, n_meas=n_meas)
 
 
@@ -64,6 +70,8 @@ def main():
 
     if args.small:
         jax.config.update("jax_platforms", "cpu")
+        global _SMALL
+        _SMALL = True
     n = 12_344 if args.small else 123_440
     nnz = 300_000 if args.small else 3_087_898
     p = 128
@@ -145,6 +153,42 @@ def main():
                 ms, cs = chain(
                     lambda b: b + eps * sparse_mm(A, b, backend=bk), B)
             report(name, ms, None, f"compile {cs:.0f}s")
+        elif name in ("chunk_kernel_pg", "chunk_combine"):
+            # decompose the chunk fwd: kernel-only (pg pre-gathered and
+            # loop-invariant; data varies so nothing else hoists) and the
+            # sorted partial-combine alone
+            from torchsparsegradutils_tpu.kernels.chunk_spmm import (
+                _combine, build_chunk_plan, chunk_gather, chunk_spmm)
+            from torchsparsegradutils_tpu.types import StaticArray
+            order = np.lexsort((cols_in_row, rows))
+            rs = StaticArray(rows[order])
+            cs_sa = StaticArray(cols_in_row[order])
+            plan = build_chunk_plan(rs, cs_sa, n, n)
+            if plan is None:
+                report(name, float("nan"), note="no chunk plan")
+                return
+            if name == "chunk_kernel_pg":
+                pg = chunk_gather(plan, B)
+                jax.block_until_ready(pg)
+                val = jax.random.normal(key, (nnz,), jnp.float32)
+                ms, cs = chain(
+                    lambda d: d + eps * chunk_spmm(plan, d, B,
+                                                   pg=pg).sum(), val)
+                report(name, ms, None,
+                       f"compile {cs:.0f}s; kernel+combine, no gather")
+            else:
+                part = jax.random.normal(
+                    key, (plan.nchunks, plan.W, p), jnp.float32)
+
+                def comb_step(st):
+                    a, pt = st
+                    out = _combine(plan, pt * (1 + a[0, 0] * eps), p)
+                    return a.at[0, 0].add(eps * out[0, 0]), pt
+
+                ms, cs = chain(comb_step, (B, part))
+                report(name, ms, plan.nchunks * plan.W * p * 4,
+                       f"compile {cs:.0f}s; W={plan.W} nchunks="
+                       f"{plan.nchunks}")
         elif name in ("seg_sorted", "seg_unsorted"):
             idx = jnp.asarray(rows if name == "seg_sorted" else cols_in_row)
             big = jax.random.normal(key, (nnz, p), jnp.float32)

@@ -615,10 +615,13 @@ def dia_spmm(plan: DiaPlan, data: jax.Array, B: jax.Array) -> jax.Array:
 
 
 def dia_spmm_transpose(plan: DiaPlan, data: jax.Array,
-                       G: jax.Array) -> jax.Array:
+                       G: jax.Array, gv: jax.Array = None) -> jax.Array:
     """Aᵀ @ G -> (m, p): the forward kernel on negated offsets over a
-    column-shifted value grid (see :func:`_transpose_grid`)."""
-    grid_v = values_to_grid(plan, data)
+    column-shifted value grid (see :func:`_transpose_grid`).
+
+    ``gv`` may supply a precomputed ``values_to_grid(plan, data)`` (the
+    forward's residual) so the backward pays no fill relayout."""
+    grid_v = values_to_grid(plan, data) if gv is None else gv
     offsets_T, shift = _transpose_grid(plan)
     out = _spmm_core(offsets_T, plan.m, plan.n, shift(grid_v), G)
     if plan.is_hybrid:

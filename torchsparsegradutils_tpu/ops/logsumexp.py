@@ -106,16 +106,12 @@ def _validate_dims(ndim: int, dim) -> list:
     return sorted(normalised)
 
 
-def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str):
-    """DIA fast path: LSE as a row reduction over the (n, K) diagonal
-    value grid — one fused streaming pass, no segment scatters at all.
-    The column direction uses the transposed grid (static column shifts,
-    no value permutation).  Gradients flow through the differentiable
-    grid relayout (``values_to_grid``'s custom VJP)."""
-    import numpy as np
-
-    from ..kernels.dia import (_transpose_grid, build_dia_plan,
-                               values_to_grid)
+def _dia_lse_plan(A, backend: str):
+    """The (plan, grid) pair of the DIA LSE path, or None when out of
+    scope — split out so the bidirectional op fills the grid ONCE and
+    feeds both direction reductions (a genuinely shared traversal, not
+    a reliance on XLA CSE merging two identical fills)."""
+    from ..kernels.dia import build_dia_plan, values_to_grid
 
     if backend not in ("auto", "dia"):
         return None
@@ -128,7 +124,26 @@ def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str):
     dia = build_dia_plan(rs, cs, n, m)
     if dia is None or dia.is_hybrid:
         return None
-    grid = values_to_grid(dia, A.data)
+    return dia, values_to_grid(dia, A.data)
+
+
+def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str,
+             planned=None):
+    """DIA fast path: LSE as a row reduction over the (n, K) diagonal
+    value grid — one fused streaming pass, no segment scatters at all.
+    The column direction uses the transposed grid (static column shifts,
+    no value permutation).  Gradients flow through the differentiable
+    grid relayout (``values_to_grid``'s custom VJP)."""
+    import numpy as np
+
+    from ..kernels.dia import _transpose_grid
+
+    if planned is None:
+        planned = _dia_lse_plan(A, backend)
+    if planned is None:
+        return None
+    dia, grid = planned
+    n, m = A.mat_shape
     valid = (dia.src_of_grid >= 0).reshape(n, dia.K)
     if over_cols:
         offsets_T, shift = _transpose_grid(dia)
@@ -152,7 +167,8 @@ def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str):
     return masked_lse_kn(grid.T, vmaskT, cnt, width, include_zeros)
 
 
-def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
+def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str,
+                 dia_planned=None):
     """Pallas one-pass LSE for 2-D static patterns; None if the path does
     not apply.  Row direction prefers the ELL-grid streaming kernel
     (monotone fill + fused dense reduce, kernels/grid_lse.py); the chunk
@@ -163,7 +179,8 @@ def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str):
 
     if backend == "xla":
         return None
-    out = _dia_lse(A, include_zeros, over_cols, backend)
+    out = _dia_lse(A, include_zeros, over_cols, backend,
+                   planned=dia_planned)
     if out is not None:
         return out
     if backend == "dia":
@@ -348,11 +365,14 @@ def sparse_bidir_logsumexp(A: Union[SparseCOO, SparseCSR],
     G = max(nrows, ncols)
 
     if not batched:
+        # one traversal: the DIA grid is filled once and both direction
+        # reductions consume it (the column direction via static shifts)
+        planned = _dia_lse_plan(A, backend)
         row_lse = _chunked_lse(A, include_zeros, over_cols=False,
-                               backend=backend)
+                               backend=backend, dia_planned=planned)
         col_lse = _chunked_lse(A, include_zeros, over_cols=True,
-                               backend=backend) if row_lse is not None \
-            else None
+                               backend=backend, dia_planned=planned) \
+            if row_lse is not None else None
         if col_lse is not None:
             if output_layout == "padded":
                 padded = jnp.full((2, G), -jnp.inf, row_lse.dtype)

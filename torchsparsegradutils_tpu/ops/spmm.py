@@ -232,8 +232,14 @@ def _spmm_cv_fwd(backend, grad_precision, A, B):
     # XLA CSE merges this take with the identical one inside the forward.
     out = _spmm_cv(backend, grad_precision, A, B)
     pg = None
-    if _dia_plan(A, backend) is None and _pallas_ok(A, B.shape[-1],
-                                                    backend):
+    dplan = _dia_plan(A, backend)
+    if dplan is not None:
+        # DIA path: the residual is the diagonal value grid — the backward
+        # transpose-SpMM then pays no fill relayout (XLA CSE merges this
+        # values_to_grid with the identical one inside the forward).
+        from ..kernels.dia import values_to_grid
+        pg = values_to_grid(dplan, A.data)
+    elif _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         if plan is not None:
             from ..kernels.chunk_spmm import chunk_gather
@@ -264,7 +270,10 @@ def _spmm_bwd_pair(backend, grad_precision, A, B, g, pg):
     """
     dplan = _dia_plan(A, backend)
     if dplan is not None:
-        return dia_sddmm(dplan, g, B), dia_spmm_transpose(dplan, A.data, g)
+        # pg here is the forward's values_to_grid residual (or None when
+        # this pair is called outside the spmm VJP)
+        return (dia_sddmm(dplan, g, B),
+                dia_spmm_transpose(dplan, A.data, g, gv=pg))
     if _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         plan_t = _chunk_plan(A, backend, transpose=True)
