@@ -134,6 +134,33 @@ def try_real_cfd2():
         return None
 
 
+def _wait_for_device(max_wait_s: float = 900.0):
+    """The tunnelled TPU intermittently wedges (jax.devices() hangs
+    indefinitely in-process).  Probe it from bounded subprocesses and wait
+    up to ``max_wait_s`` before letting the in-process init run."""
+    import subprocess
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); import jax.numpy as jnp; "
+                 "x = jnp.ones((8, 8)); (x @ x).block_until_ready()"],
+                timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(f"device probe failed after {attempt} attempts; "
+                  "proceeding anyway", file=sys.stderr)
+            return False
+        print(f"device probe {attempt} failed; retrying", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -209,6 +236,7 @@ def _fallback(err):
 
 
 if __name__ == "__main__":
+    _wait_for_device()
     try:
         main()
     except Exception as e:  # noqa: BLE001 - one retry, then a NaN record

@@ -63,6 +63,7 @@ def main(small: bool = False):
     run(A_st, "stencil", "dia")
     A_rd = rand_sparse_tri(key, (n, n), nnz, upper=False, layout="csr")
     run(A_rd, "random", "block", block_size=128)
+    run(A_rd, "random", "wave")   # level-scheduled wavefront (round 3)
     write_csv("sparse_triangular_solve_results.csv", rows)
 
 

@@ -120,7 +120,7 @@ class TestTriangularErrors:
         A = rand_sparse_tri(KEY, (6, 6), 12, upper=False)
         with pytest.raises(ValueError, match=re.escape(
                 "unknown algorithm 'fancy'; expected 'auto', 'dia', "
-                "'block' or 'dense'")):
+                "'wave', 'block' or 'dense'")):
             sparse_triangular_solve(A, jnp.ones((6, 2)), upper=False,
                                     algorithm="fancy")
 
