@@ -495,3 +495,45 @@ class TestDiaEdgeCases:
         np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
                                    sparse_mm(A, B, backend="xla"),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestExplain:
+    """Dispatch-transparency report (kernels/explain.py)."""
+
+    def test_stencil_routes_dia(self, key):
+        from torchsparsegradutils_tpu import explain
+        from torchsparsegradutils_tpu.utils.random_sparse import (
+            stencil_sparse)
+        A = stencil_sparse(key, (256, 256), [-8, -1, 0, 1, 8], layout="csr")
+        r = explain(A)
+        assert r["sparse_mm"]["engine"] == "dia"
+        assert r["pattern"]["dia"]["qualifies"]
+        assert r["matvec"]["engine"] == "dia"
+
+    def test_random_pattern_reports_fallback(self, key):
+        from torchsparsegradutils_tpu import explain
+        from torchsparsegradutils_tpu.utils import rand_sparse
+        R = rand_sparse(key, (256, 256), 2000, layout="csr")
+        r = explain(R)
+        assert r["sparse_mm"]["engine"] in ("pallas-chunk", "xla")
+        assert not r["pattern"]["dia"]["qualifies"]
+
+    def test_banded_triangular_routes_dia(self, key):
+        from torchsparsegradutils_tpu import explain
+        from torchsparsegradutils_tpu.utils.random_sparse import (
+            stencil_sparse)
+        L = stencil_sparse(key, (256, 256), [-3, -1, 0], layout="csr")
+        r = explain(L)
+        assert r["triangular_solve"]["engine"] == "dia"
+
+    def test_dynamic_pattern(self, key):
+        from torchsparsegradutils_tpu import explain
+        from torchsparsegradutils_tpu.utils import rand_sparse
+        A = rand_sparse(key, (64, 64), 200)
+        import jax.numpy as jnp
+        from torchsparsegradutils_tpu.types import SparseCOO
+        dyn = SparseCOO(jnp.asarray(A.rows()), jnp.asarray(A.cols()),
+                        A.data, A.shape, pattern_static=False)
+        r = explain(dyn)
+        assert r["sparse_mm"]["engine"] == "xla"
+        assert not r["pattern"]["static"]

@@ -15,6 +15,7 @@ MODULES = [
     "torchsparsegradutils_tpu.utils.random_sparse",
     "torchsparsegradutils_tpu.models.distributions",
     "torchsparsegradutils_tpu.kernels.dia",
+    "torchsparsegradutils_tpu.kernels.explain",
 ]
 
 

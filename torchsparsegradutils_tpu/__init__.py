@@ -43,4 +43,7 @@ def __getattr__(name):  # lazy imports for heavier submodules
     if name == "dia_coverage":
         from .kernels.dia import dia_coverage
         return dia_coverage
+    if name == "explain":
+        from .kernels.explain import explain
+        return explain
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,181 @@
+"""Dispatch transparency: which engine would each op run, and why.
+
+The execution engine picks between the DIA shifted-stream/MXU path, the
+Pallas chunk kernels, ELL plans, the wave/blocked triangular schedules,
+and XLA fallbacks from *static pattern properties* (CLAUDE.md "Execution
+engine").  ``explain(A)`` evaluates exactly the gates the ops use and
+returns one report per op family so users (and benchmark provenance) can
+see the chosen path without reverse-engineering timings — the runtime
+analogue of the round-2 verdict's ``dia_coverage`` diagnostic.
+
+The reference has no analogue (torch dispatches inside opaque native
+kernels); this exists because on TPU the pattern→engine choice is the
+single biggest performance lever.
+
+Example:
+    >>> import jax
+    >>> from torchsparsegradutils_tpu import explain
+    >>> from torchsparsegradutils_tpu.utils.random_sparse import (
+    ...     stencil_sparse)
+    >>> A = stencil_sparse(jax.random.PRNGKey(0), (64, 64), [-8, 0, 1])
+    >>> r = explain(A)
+    >>> r["sparse_mm"]["engine"]
+    'dia'
+    >>> r["pattern"]["dia"]["qualifies"]
+    True
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["explain"]
+
+
+def _tri_report(A, n: int) -> Optional[dict]:
+    """Triangular-solve path for a (lower- or upper-) triangular pattern;
+    None when the pattern is not triangular.  Mirrors the gates of
+    ``ops.triangular_solve._tri_forward_2d``."""
+    from ..ops.triangular_solve import _build_wave_plan
+    from .dia import build_dia_plan
+    from .dia_tri import SPAN_CAP
+
+    rows = A.row_sa().arr.astype(np.int64)
+    cols = A.col_sa().arr.astype(np.int64)
+    lower = bool((cols <= rows).all())
+    upper = bool((cols >= rows).all())
+    if not (lower or upper) or lower == upper:
+        return None
+    rep = {"triangular": "lower" if lower else "upper"}
+    dia = build_dia_plan(A.row_sa(), A.col_sa(), n, n)
+    if dia is not None and not dia.is_hybrid and dia.span <= SPAN_CAP:
+        rep.update(engine="dia",
+                   why=f"banded factor (bandwidth {dia.span} <= "
+                       f"{SPAN_CAP}): single-kernel rolling-window "
+                       "back-substitution")
+        return rep
+    try:
+        wp = _build_wave_plan(A.row_sa(), A.col_sa(), n, 128, lower)
+        blocked_steps = -(-n // (512 if n >= 16384 else 128))
+        if wp.S <= 0.6 * blocked_steps:
+            rep.update(engine="wave", wave_steps=int(wp.S),
+                       why=f"level-scheduled wavefront: {int(wp.S)} "
+                           f"sequential slab steps vs {blocked_steps} "
+                           "blocked-scan steps")
+        else:
+            rep.update(engine="block", wave_steps=int(wp.S),
+                       why=f"wavefront packs poorly ({int(wp.S)} steps vs "
+                           f"{blocked_steps} blocked): blocked lax.scan "
+                           "back-substitution")
+    except Exception:  # noqa: BLE001 - wave planner out of scope
+        rep.update(engine="block",
+                   why="unstructured factor outside the wave planner's "
+                       "scope: blocked lax.scan back-substitution")
+    return rep
+
+
+def explain(A, p: int = 128) -> dict:
+    """Report the execution path each op family would take for ``A``.
+
+    Args:
+      A: 2-D static-pattern sparse container.
+      p: assumed RHS column count for the SpMM/solve gates (they are
+        p-dependent: narrow RHS prefers VPU/XLA paths).
+
+    Returns:
+      dict with ``pattern`` (structure statistics) and one entry per op
+      family (``sparse_mm``, ``sddmm``, ``sparse_logsumexp``,
+      ``matvec``, ``triangular_solve`` when applicable), each naming the
+      ``engine`` and a human-readable ``why``.
+    """
+    from ..ops.spmm import _chunk_plan, _dia_plan
+    from ..types import is_sparse
+    from .dia import MIN_P_PALLAS, build_dia_plan, dia_coverage
+    from .dia_mxu import plan_clusters
+    from .dispatch import on_tpu
+
+    if not is_sparse(A) or A.ndim != 2:
+        raise ValueError("explain expects an unbatched 2-D sparse "
+                         "container")
+    n, m = A.mat_shape
+    # pattern_static=False containers carry traced indices under jit even
+    # when the eager arrays are concrete — report the jit-time behaviour
+    static = A.row_sa() is not None and getattr(A, "pattern_static", True)
+    cov = dia_coverage(A)
+    rep = {"pattern": {
+        "shape": (n, m), "nnz": A.nnz, "static": static,
+        "dtype": str(A.dtype), "layout": A.layout, "dia": cov,
+    }}
+    if not static:
+        why = ("dynamic pattern: traced indices force the gather/segment "
+               "XLA formulation everywhere")
+        for op in ("sparse_mm", "sddmm", "sparse_logsumexp", "matvec"):
+            rep[op] = {"engine": "xla", "why": why}
+        return rep
+
+    dplan = _dia_plan(A, "auto")
+    cplan = _chunk_plan(A, "auto")
+    tpu = on_tpu()
+
+    if dplan is not None:
+        clustered = plan_clusters(dplan.offsets) is not None
+        core = "mxu banded-matmul" if (clustered and p >= 64) else \
+            "vpu shifted streams"
+        hybrid = (f" + residual gather pass ({cov['residual_nnz']} "
+                  "stragglers)") if dplan.is_hybrid else ""
+        rep["sparse_mm"] = {
+            "engine": "dia", "core": core,
+            "why": f"{cov['kept_diagonals']} diagonals cover "
+                   f"{cov['coverage']:.0%} of nnz: statically shifted "
+                   f"dense streams, zero gathers{hybrid}"}
+        rep["sddmm"] = dict(rep["sparse_mm"])
+        rep["sparse_logsumexp"] = {
+            "engine": "dia" if not dplan.is_hybrid else
+            ("pallas" if tpu else "xla"),
+            "why": "masked reduce over the (K, n) transposed diagonal "
+                   "grid" if not dplan.is_hybrid else
+                   "hybrid plans keep LSE on the generic path"}
+        rep["matvec"] = {
+            "engine": "dia",
+            "why": "grid + residual values hoisted out of the Krylov "
+                   "while_loop (kernels/dia.py:prepared_matvec)"}
+    else:
+        chunk_ok = cplan is not None and (tpu or not tpu)  # plan exists
+        if chunk_ok and tpu and p >= MIN_P_PALLAS:
+            rep["sparse_mm"] = {
+                "engine": "pallas-chunk",
+                "why": f"row-sorted entry stream in {cplan.C}-entry "
+                       f"chunks, one-hot MXU row reduce (W={cplan.W}); "
+                       "B rows gathered once (the platform's random-"
+                       "gather floor — see benchmarks/probe_random_"
+                       "gather.py)"}
+        else:
+            why = ("CPU backend" if not tpu else
+                   f"narrow RHS (p={p} < {MIN_P_PALLAS})" if cplan
+                   is not None else "entries not row-sorted")
+            rep["sparse_mm"] = {"engine": "xla",
+                                "why": f"{why}: gather + segment-sum"}
+        rep["sddmm"] = dict(rep["sparse_mm"])
+        rep["sparse_logsumexp"] = {
+            "engine": "pallas" if tpu else "xla",
+            "why": "ELL-grid streaming kernel (row dir); transposed "
+                   "reorder for the column dir" if tpu else
+                   "segment max/sum fallback"}
+        rep["matvec"] = {
+            "engine": "chunk-spmv" if tpu else "xla",
+            "why": "scatter-free one-hot row reduce over the scalar "
+                   "gather (p=1)" if tpu else "gather + segment-sum"}
+
+    if A.dtype not in (jnp.float32, jnp.bfloat16):
+        note = (f"dtype {A.dtype}: Pallas/DIA kernels are f32/bf16; "
+                "this dtype takes the XLA fallback")
+        for op in ("sparse_mm", "sddmm", "sparse_logsumexp", "matvec"):
+            rep[op] = {"engine": "xla", "why": note}
+
+    tri = _tri_report(A, n) if n == m else None
+    if tri is not None:
+        rep["triangular_solve"] = tri
+    return rep
