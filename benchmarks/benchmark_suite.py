@@ -9,14 +9,15 @@ import sys
 
 
 def main(small: bool = False):
-    from . import (sparse_generic_solve_rand, sparse_logsumexp_rand,
-                   sparse_logsumexp_suitesparse, sparse_mm_rand,
-                   sparse_mm_suite, sparse_solve_suite,
+    from . import (batched_sparse_mm_rand, sparse_generic_solve_rand,
+                   sparse_logsumexp_rand, sparse_logsumexp_suitesparse,
+                   sparse_mm_rand, sparse_mm_suite, sparse_solve_suite,
                    sparse_triangular_solve_rand,
                    sparse_triangular_solve_suite, visualize_results)
     for mod in (sparse_mm_suite, sparse_solve_suite,
                 sparse_triangular_solve_suite,
                 sparse_logsumexp_suitesparse, sparse_mm_rand,
+                batched_sparse_mm_rand,
                 sparse_logsumexp_rand, sparse_generic_solve_rand,
                 sparse_triangular_solve_rand):
         print(f"=== {mod.__name__} ===", flush=True)
