@@ -537,3 +537,89 @@ class TestExplain:
         r = explain(dyn)
         assert r["sparse_mm"]["engine"] == "xla"
         assert not r["pattern"]["static"]
+
+
+class TestMxuCore:
+    """Interpret-mode coverage of the MXU banded-matmul core
+    (kernels/dia_mxu.py) — the p>=64 DIA path the suite's small-p tests
+    never reach."""
+
+    def _grid(self, offsets, n, key):
+        from torchsparsegradutils_tpu.kernels.dia import (build_dia_plan,
+                                                          values_to_grid)
+        from torchsparsegradutils_tpu.utils.random_sparse import (
+            stencil_sparse)
+        A = stencil_sparse(key, (n, n), offsets, layout="csr")
+        plan = build_dia_plan(A.row_sa(), A.col_sa(), n, n)
+        assert plan is not None and not plan.is_hybrid
+        return A, plan, values_to_grid(plan, A.data)
+
+    def test_spmm_core_matches_dense(self, key):
+        from torchsparsegradutils_tpu.kernels.dia_mxu import spmm_core_mxu
+        offsets = [-9, -8, -1, 0, 1, 8, 9]
+        n = 384
+        A, plan, grid = self._grid(offsets, n, key)
+        B = jax.random.normal(jax.random.fold_in(key, 1), (n, 128))
+        out = spmm_core_mxu(plan.offsets, n, n, grid, B)
+        assert out is not None, "clustered stencil must take the MXU core"
+        ref = A.todense() @ B
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_spmm_core_wide_clusters(self, key):
+        # three separated clusters (cfd2-like): exercises the rolling halo
+        from torchsparsegradutils_tpu.kernels.dia_mxu import spmm_core_mxu
+        offsets = sorted({0, 1, -1, 40, -40, 41, -41})
+        n = 512
+        A, plan, grid = self._grid(offsets, n, key)
+        B = jax.random.normal(jax.random.fold_in(key, 1), (n, 64))
+        out = spmm_core_mxu(plan.offsets, n, n, grid, B)
+        assert out is not None
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(A.todense() @ B),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_sddmm_core_matches_dense(self, key):
+        from torchsparsegradutils_tpu.kernels.dia_mxu import sddmm_core_mxu
+        offsets = [-8, -1, 0, 1, 8]
+        n = 384
+        A, plan, _ = self._grid(offsets, n, key)
+        X = jax.random.normal(jax.random.fold_in(key, 1), (n, 128))
+        Y = jax.random.normal(jax.random.fold_in(key, 2), (n, 128))
+        grid = sddmm_core_mxu(plan.offsets, n, n, X, Y)
+        assert grid is not None
+        P = np.asarray(X @ Y.T)
+        for k, off in enumerate(plan.offsets):
+            for r in range(n):
+                c = r + int(off)
+                if 0 <= c < n:
+                    np.testing.assert_allclose(
+                        np.asarray(grid)[r, k], P[r, c], rtol=2e-5,
+                        atol=2e-5)
+
+    def test_bf16_single_pass(self, key):
+        from torchsparsegradutils_tpu.kernels.dia_mxu import spmm_core_mxu
+        offsets = [-1, 0, 1]
+        n = 256
+        A, plan, grid = self._grid(offsets, n, key)
+        B = jax.random.normal(jax.random.fold_in(key, 1), (n, 64))
+        out = spmm_core_mxu(plan.offsets, n, n,
+                            grid.astype(jnp.bfloat16),
+                            B.astype(jnp.bfloat16))
+        assert out is not None and out.dtype == jnp.bfloat16
+        ref = A.todense() @ B
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+    def test_out_of_scope_returns_none(self, key):
+        from torchsparsegradutils_tpu.kernels.dia_mxu import (plan_clusters,
+                                                              spmm_core_mxu)
+        # scattered offsets: more clusters than MAX_CLUSTERS -> None
+        import numpy as onp
+        scattered = onp.asarray(sorted({i * 1500 for i in range(-7, 8)}))
+        assert plan_clusters(scattered) is None
+        # narrow RHS: p < 64 -> None (VPU kernel wins)
+        offsets = [-1, 0, 1]
+        _, plan, grid = self._grid(offsets, 256, key)
+        B = jax.random.normal(key, (256, 8))
+        assert spmm_core_mxu(plan.offsets, 256, 256, grid, B) is None
