@@ -207,3 +207,86 @@ def test_validation(key, layout):
     with pytest.raises(ValueError, match="unknown algorithm"):
         sparse_triangular_solve(A, jnp.ones(N), upper=False,
                                 algorithm="bogus")
+
+
+# ---------------------------------------------------------------------------
+# level-scheduled wavefront algorithm (round 3): the wave gate needs n > 256
+# ---------------------------------------------------------------------------
+
+NW = 512
+
+
+@pytest.mark.parametrize("upper", [False, True])
+@pytest.mark.parametrize("transpose", [False, True])
+def test_wave_forward_vs_dense(key, layout, upper, transpose):
+    A = _tri(key, layout, upper, n=NW)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (NW, 3))
+    x = sparse_triangular_solve(A, B, upper=upper, transpose=transpose,
+                                algorithm="wave")
+    ref = _dense_solve(A, B, upper, False, transpose)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_wave_unitriangular(key, layout):
+    A = _tri(key, layout, upper=False, strict=True, n=NW)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (NW, 2))
+    x = sparse_triangular_solve(A, B, upper=False, unitriangular=True,
+                                algorithm="wave")
+    ref = _dense_solve(A, B, False, True, False)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_wave_grad_parity(key, layout):
+    A = _tri(key, layout, upper=False, n=NW)
+    B = jax.random.normal(jax.random.fold_in(key, 1), (NW, 2))
+    G = jax.random.normal(jax.random.fold_in(key, 2), (NW, 2))
+
+    gd, gb = jax.grad(
+        lambda d, b: (sparse_triangular_solve(
+            A.with_data(d), b, upper=False, algorithm="wave") * G).sum(),
+        argnums=(0, 1))(A.data, B)
+    mask = np.zeros((NW, NW), np.float32)
+    rows, cols = np.asarray(A.rows()), np.asarray(A.cols())
+    mask[rows, cols] = 1.0
+
+    def dense_loss(vals, b):
+        M = jnp.zeros((NW, NW)).at[rows, cols].set(vals)
+        return (jnp.linalg.solve(M, b) * G).sum()
+
+    rd, rb = jax.grad(dense_loss, argnums=(0, 1))(A.data, B)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(rd), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_wave_overflow_tier_engages(key, layout):
+    """Degree-skewed factor: heavy rows spill into the overflow tier; the
+    result must still match the blocked algorithm."""
+    import numpy as onp
+    rng = onp.random.default_rng(7)
+    n = 2048
+    rows = [onp.arange(n)]
+    cols = [onp.arange(n)]
+    # ~4 random strictly-lower entries per row, plus 60 heavy rows with
+    # ~160 entries each (p99 base width forces the spill path)
+    for r in range(1, n):
+        k = 160 if (r % 34 == 0) else rng.integers(1, 5)
+        c = rng.choice(r, size=min(int(k), r), replace=False)
+        rows.append(onp.full(len(c), r))
+        cols.append(c)
+    rows = onp.concatenate(rows)
+    cols = onp.concatenate(cols)
+    order = onp.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    vals = rng.normal(size=len(rows)).astype(onp.float32)
+    vals[cols == rows] = 3.0 + onp.abs(vals[cols == rows])  # well-cond diag
+    A = SparseCOO(rows.astype(onp.int32), cols.astype(onp.int32),
+                  jnp.asarray(vals), (n, n))
+    B = jax.random.normal(jax.random.fold_in(key, 1), (n, 2))
+    xw = sparse_triangular_solve(A, B, upper=False, algorithm="wave")
+    xb = sparse_triangular_solve(A, B, upper=False, algorithm="block")
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xb), rtol=1e-3,
+                               atol=1e-4)
