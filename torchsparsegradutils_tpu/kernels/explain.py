@@ -143,8 +143,7 @@ def explain(A, p: int = 128) -> dict:
             "why": "grid + residual values hoisted out of the Krylov "
                    "while_loop (kernels/dia.py:prepared_matvec)"}
     else:
-        chunk_ok = cplan is not None and (tpu or not tpu)  # plan exists
-        if chunk_ok and tpu and p >= MIN_P_PALLAS:
+        if cplan is not None and tpu and p >= MIN_P_PALLAS:
             rep["sparse_mm"] = {
                 "engine": "pallas-chunk",
                 "why": f"row-sorted entry stream in {cplan.C}-entry "
