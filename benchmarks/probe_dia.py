@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 ALL = ["fill", "unfill", "spmm_core", "sddmm_core", "spmm_t_core",
-       "shift", "fwd_full", "step_full"]
+       "spmm_vpu", "sddmm_vpu", "shift", "fwd_full", "step_full"]
 
 N_ROWS = 123_440
 M_RHS = 128
@@ -55,8 +55,8 @@ def main():
           f"probes={sel}", file=sys.stderr)
 
     from torchsparsegradutils_tpu.kernels.dia import (
-        _spmm_core, _transpose_grid, build_dia_plan, dia_sddmm,
-        grid_to_values, values_to_grid)
+        _dia_sddmm_pallas, _spmm_core, _spmm_core_pallas, _transpose_grid,
+        build_dia_plan, dia_sddmm, grid_to_values, values_to_grid)
     from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
 
     key = jax.random.PRNGKey(0)
@@ -89,6 +89,13 @@ def main():
             gT = shift(grid0)
             ms, cs = chain(lambda g: g + eps * _spmm_core(
                 offsets_T, plan.m, plan.n, gT, g), G)
+        elif name == "spmm_vpu":
+            # the round-2 VPU shift kernel, for MXU-vs-VPU comparison
+            ms, cs = chain(lambda b: b + eps * _spmm_core_pallas(
+                plan.offsets, plan.n, plan.m, grid0, b), B)
+        elif name == "sddmm_vpu":
+            ms, cs = chain(lambda g: g + eps * _dia_sddmm_pallas(
+                plan, g, B).sum(), G)
         elif name == "shift":
             _, shift = _transpose_grid(plan)
             ms, cs = chain(lambda g: g + eps * shift(g)[:plan.n].sum(),

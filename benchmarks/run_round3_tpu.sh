@@ -28,7 +28,8 @@ if [ "$PH" = probes ] || [ "$PH" = all ]; then
     timeout 1200 python -m benchmarks.probe_random_gather --only "$p" \
       >>/tmp/r3_probes.jsonl 2>>"$LOG"
   done
-  for p in fill unfill spmm_core sddmm_core spmm_t_core fwd_full \
+  for p in fill unfill spmm_core sddmm_core spmm_t_core spmm_vpu \
+           sddmm_vpu fwd_full \
            step_full; do
     echo "--- dia probe $p ($(date -u +%H:%M:%S))" | tee -a "$LOG"
     timeout 1200 python -m benchmarks.probe_dia --only "$p" \
