@@ -53,4 +53,11 @@ if [ "$PH" = suites ] || [ "$PH" = all ]; then
   run 3600 logsumexp_rand       python -m benchmarks.sparse_logsumexp_rand
   run 3600 tri_rand             python -m benchmarks.sparse_triangular_solve_rand
 fi
+if [ "$PH" = suites ] || [ "$PH" = all ]; then
+  run 900 visualize python -m benchmarks.visualize_results
+  echo "--- probe summary" | tee -a "$LOG"
+  cat /tmp/r3_probes.jsonl 2>/dev/null | tee -a "$LOG"
+  echo "--- bench" | tee -a "$LOG"
+  cat /tmp/r3_bench.json 2>/dev/null | tee -a "$LOG"
+fi
 echo "=== done $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
