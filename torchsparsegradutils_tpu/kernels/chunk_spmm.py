@@ -71,14 +71,24 @@ class ChunkPlan:
         return self.nchunks * self.C
 
 
+def _geometry_candidates():
+    """(SB, C candidates) — overridable via TSGU_CHUNK_SB / TSGU_CHUNK_C
+    for on-hardware sweeps without code edits."""
+    import os
+    sb = int(os.environ.get("TSGU_CHUNK_SB", "8"))
+    c_env = os.environ.get("TSGU_CHUNK_C")
+    cs = ((int(c_env),) if c_env else (512, 256, 128))
+    return sb, cs
+
+
 def _build(rows: np.ndarray, cols: np.ndarray, n: int, m: int,
            perm: Optional[np.ndarray]) -> Optional[ChunkPlan]:
     nnz = len(rows)
     if nnz == 0:
         return None
     from .. import native
-    SB = 8
-    for C in (512, 256, 128):
+    SB, c_candidates = _geometry_candidates()
+    for C in c_candidates:
         nchunks_raw = -(-nnz // C)
         nchunks = -(-nchunks_raw // SB) * SB
         nnz_pad = nchunks * C
