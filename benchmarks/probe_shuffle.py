@@ -34,26 +34,11 @@ ALL = ["take_flat", "talong1", "talong0", "transpose", "talong1_wide",
 
 
 def chain(step, x0, rep=20, n_meas=4):
-    import jax
-
-    @jax.jit
-    def many(x):
-        return jax.lax.fori_loop(0, rep, lambda i, y: step(y), x)
-
-    t0 = time.perf_counter()
-    r = many(x0)
-    jax.block_until_ready(r)
-    leaf = jax.tree_util.tree_leaves(r)[0]
-    float(leaf.ravel()[0])
-    compile_s = time.perf_counter() - t0
-    ts = []
-    for _ in range(n_meas):
-        t0 = time.perf_counter()
-        r = many(x0)
-        leaf = jax.tree_util.tree_leaves(r)[0]
-        float(leaf.ravel()[0])
-        ts.append((time.perf_counter() - t0) / rep * 1e3)
-    return float(np.median(ts)), compile_s
+    # differenced chain (shared harness): cancels the fixed ~30 ms
+    # per-dispatch tunnel cost that would otherwise inflate rep=20
+    # readings by ~1.5 ms/step — the same magnitude as a shuffle stage
+    from benchmarks.benchmark_utils import chain_diff
+    return chain_diff(step, x0, rep=rep, n_meas=n_meas)
 
 
 def report(name, ms, bytes_moved=None, note=""):

@@ -116,6 +116,13 @@ class TestTriangularErrors:
             sparse_triangular_solve(A, jnp.ones((6, 2)), upper=False,
                                     unitriangular=True)
 
+    def test_wave_too_small(self):
+        A = rand_sparse_tri(KEY, (6, 6), 12, upper=False)
+        with pytest.raises(ValueError, match=re.escape(
+                "algorithm='wave' needs n > 256")):
+            sparse_triangular_solve(A, jnp.ones((6, 2)), upper=False,
+                                    algorithm="wave")
+
     def test_unknown_algorithm(self):
         A = rand_sparse_tri(KEY, (6, 6), 12, upper=False)
         with pytest.raises(ValueError, match=re.escape(

@@ -247,7 +247,10 @@ def chunk_spmv(plan: ChunkPlan, data, x):
     def kernel(lr_ref, vals_ref, xg_ref, out_ref):
         for i in range(SB):
             l = lr_ref[i]
-            prod = vals_ref[i] * xg_ref[i]
+            # accumulate in f32 regardless of storage dtype (bf16 inputs
+            # would otherwise sum up to C products in bf16 — the sibling
+            # kernels force f32 via preferred_element_type)
+            prod = (vals_ref[i] * xg_ref[i]).astype(jnp.float32)
             M = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
                 == l[None, :], prod[None, :], 0.0)

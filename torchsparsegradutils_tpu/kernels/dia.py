@@ -107,7 +107,6 @@ class DiaPlan:
         return self.resid_sel is not None
 
 
-@lru_cache(maxsize=64)
 def dia_coverage(A) -> dict:
     """Diagnostic: how diagonal-structured a pattern is.
 
@@ -157,6 +156,7 @@ def dia_coverage(A) -> dict:
     }
 
 
+@lru_cache(maxsize=64)
 def build_dia_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
                    m: int) -> Optional[DiaPlan]:
     """Detect a (possibly hybrid) diagonal-structured pattern.

@@ -100,11 +100,13 @@ def plan_clusters(offsets: np.ndarray):
     return best[1], best[2]
 
 
-def _geometry(clusters, E: int, n: int, m: int):
+def _geometry(clusters, E: int, n: int, m: int, n_tables: int = 1):
     """Rolling-window geometry: tile size, halo span, padding.  Tile i's
     halo holds padded-B rows ``[i*R_T + base0, i*R_T + base0 + H)``;
     cluster c's window for sub-tile ``s`` starts ``coff_c + 128*s`` rows
-    into the halo."""
+    into the halo.  ``n_tables`` counts the resident (C, nb, 128, 128)
+    static tables: 1 for SpMM (gather index), 2 for SDDMM (extract index
+    + mask) — undercounting them lets Mosaic OOM at compile time."""
     C = len(clusters)
     starts = [st for st, _ in clusters]
     min_st, max_st = min(starts), max(starts)
@@ -115,7 +117,7 @@ def _geometry(clusters, E: int, n: int, m: int):
         vmem = (H * LANE * 4              # halo
                 + 2 * R_T * LANE * 4      # staging double buffer
                 + 2 * R_T * LANE * 4      # v/x tile + out tile (phys pad)
-                + C * nb * LANE * LANE * 4)
+                + n_tables * C * nb * LANE * LANE * 4)
         if vmem <= VMEM_BUDGET or R_T == 128:
             break
     ntiles = -(-n // R_T)
@@ -338,7 +340,8 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
     C = len(clusters)
     Wd = E + LANE
     nb = Wd // LANE
-    R_T, span, ntiles, LO, base0, hi_pad, coffs = _geometry(clusters, E, n, m)
+    R_T, span, ntiles, LO, base0, hi_pad, coffs = _geometry(
+        clusters, E, n, m, n_tables=2)
     H = R_T + span
     n_pad = ntiles * R_T
     subs = R_T // LANE

@@ -51,8 +51,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import StaticArray
-
 LANE = 128
 
 
@@ -153,10 +151,3 @@ def shuffle_values(plan: ShufflePlan, x: jax.Array) -> jax.Array:
         raise ValueError(
             f"shuffle_values: expected shape ({plan.n},), got {x.shape}")
     return _shuffle(plan, x)
-
-
-@lru_cache(maxsize=256)
-def cached_shuffle_plan(perm_sa: StaticArray, n: int) -> \
-        Optional[ShufflePlan]:
-    """Content-hash-cached plan from a :class:`StaticArray` permutation."""
-    return build_shuffle_plan(perm_sa.arr, n)

@@ -264,9 +264,14 @@ def _spmm_bwd_pair(backend, grad_precision, A, B, g, pg):
     column-order row-sum — no per-entry value permutation.  Its own VJP
     (for higher-order grads) is expressed in plain differentiable ops.
 
-    ``pg`` is the forward's gathered-B residual (or None); it is treated
-    as *derived from B* — callers must pass ``chunk_gather(plan, B)`` or
-    None — so its cotangent is zero and all sensitivity is attributed to B.
+    ``pg`` is the forward's precomputed residual (or None): on the chunk
+    path ``chunk_gather(plan, B)`` (derived from B), on the DIA path
+    ``values_to_grid(dplan, A.data)`` (derived from A.data).  Either way
+    it is a pure re-layout of another argument, so in this function's own
+    VJP its cotangent is zero and all sensitivity is re-attributed to the
+    source argument (d_B on the chunk path, d_data on the DIA path) —
+    passing a residual that does not match the dispatch path would make
+    that re-attribution silently wrong.
     """
     dplan = _dia_plan(A, backend)
     if dplan is not None:

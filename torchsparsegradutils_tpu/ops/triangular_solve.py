@@ -546,6 +546,14 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         nb = min(128, max(8, 1 << (n - 1).bit_length() if n < 128 else 128))
     rows = StaticArray(np.asarray(A.rows_np()))
     cols = StaticArray(np.asarray(A.cols_np()))
+    if algorithm == "wave" and n <= 256:
+        # nothing to schedule at this size (a single <=256-row block);
+        # raise rather than silently running the blocked path, matching
+        # the algorithm='dia' contract
+        raise ValueError(
+            "sparse_triangular_solve: algorithm='wave' needs n > 256 "
+            "(below that the blocked scan is a single step; use "
+            "algorithm='block' or 'auto')")
     if algorithm in ("auto", "wave") and n > 256:
         # level-scheduled wavefront: sequential depth = dependency-level
         # depth, not n/nb.  Worth it when packing shortens the chain
@@ -625,8 +633,10 @@ def sparse_triangular_solve(A: Union[SparseCOO, SparseCSR], B, *,
         eagerly).
       transpose: solve ``Aᵀ x = B`` instead.
       algorithm: "auto" | "dia" (single-kernel rolling-window solve for
-        banded patterns; auto prefers it) | "block" (scan of blocked
-        back-substitution steps) | "dense".
+        banded patterns; auto prefers it) | "wave" (level-scheduled
+        wavefront for unstructured patterns, n > 256; auto takes it when
+        the dependency-level packing shortens the sequential chain) |
+        "block" (scan of blocked back-substitution steps) | "dense".
       block_size: row-block size for the block algorithm (default ≤128).
 
     Gradients w.r.t. A are returned only at its stored nonzeros.
