@@ -13,7 +13,6 @@ kernels.  These probes measure the candidate stage kernels:
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 

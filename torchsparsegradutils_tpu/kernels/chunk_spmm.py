@@ -254,18 +254,20 @@ def chunk_spmv(plan: ChunkPlan, data, x):
             M = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
                 == l[None, :], prod[None, :], 0.0)
-            out_ref[i] = M.sum(axis=1).astype(out_ref.dtype)
+            out_ref[i] = M.sum(axis=1)
 
+    # partials stay f32 through the cross-chunk segment_sum (rows spanning
+    # many chunks would otherwise re-accumulate in bf16); cast at the end
     partial_out = pl.pallas_call(
         kernel, grid=grid, in_specs=[spec_c, spec_c, spec_c],
         out_specs=spec_w,
-        out_shape=jax.ShapeDtypeStruct((plan.nchunks, W), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((plan.nchunks, W), jnp.float32),
         interpret=interpret_mode(),
     )(as_device_array(plan.lr), vals, xg)
     seg = as_device_array(plan.seg_rows).reshape(-1)
     out = jax.ops.segment_sum(partial_out.reshape(-1), seg,
                               num_segments=plan.n + 1)
-    return out[:plan.n]
+    return out[:plan.n].astype(x.dtype)
 
 
 def chunk_sddmm(plan: ChunkPlan, X, Y):

@@ -527,6 +527,9 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         raise ValueError(f"unknown algorithm {algorithm!r}; expected "
                          "'auto', 'dia', 'wave', 'block' or 'dense'")
     if use_dense:
+        # NOTE: dynamic patterns take this dense fallback for EVERY
+        # algorithm, including 'wave' and 'block' — scheduling needs the
+        # pattern on the host.
         if algorithm != "dense" and n > 2048:
             warnings.warn(
                 "sparse_triangular_solve: dynamic-pattern input falls back "
@@ -534,6 +537,14 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         Ad = A.todense()
         return jax.scipy.linalg.solve_triangular(
             Ad, B, lower=not upper, unit_diagonal=unit)
+    if algorithm == "wave" and n <= 256:
+        # nothing to schedule at this size (a single <=256-row block);
+        # raise rather than silently running the blocked path, matching
+        # the algorithm='dia' contract
+        raise ValueError(
+            "sparse_triangular_solve: algorithm='wave' needs n > 256 "
+            "(below that the blocked scan is a single step; use "
+            "algorithm='block' or 'auto')")
     # Default block size: the scan is gather-throughput + per-step-latency
     # bound (measured ~34 us/step at nb=128, cfd2-factor scale), so larger
     # blocks amortise the sequential chain; the (nblk, nb, nb) batched
@@ -546,14 +557,6 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         nb = min(128, max(8, 1 << (n - 1).bit_length() if n < 128 else 128))
     rows = StaticArray(np.asarray(A.rows_np()))
     cols = StaticArray(np.asarray(A.cols_np()))
-    if algorithm == "wave" and n <= 256:
-        # nothing to schedule at this size (a single <=256-row block);
-        # raise rather than silently running the blocked path, matching
-        # the algorithm='dia' contract
-        raise ValueError(
-            "sparse_triangular_solve: algorithm='wave' needs n > 256 "
-            "(below that the blocked scan is a single step; use "
-            "algorithm='block' or 'auto')")
     if algorithm in ("auto", "wave") and n > 256:
         # level-scheduled wavefront: sequential depth = dependency-level
         # depth, not n/nb.  Worth it when packing shortens the chain
