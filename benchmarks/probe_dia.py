@@ -22,8 +22,9 @@ import time
 
 import numpy as np
 
-ALL = ["fill", "unfill", "spmm_core", "sddmm_core", "spmm_t_core",
-       "spmm_vpu", "sddmm_vpu", "shift", "fwd_full", "step_full"]
+ALL = ["fill", "unfill", "spmm_core", "spmm_core_bf16", "sddmm_core",
+       "sddmm_core_bf16", "spmm_t_core", "spmm_vpu", "sddmm_vpu", "shift",
+       "fwd_full", "step_full"]
 
 N_ROWS = 123_440
 M_RHS = 128
@@ -81,9 +82,20 @@ def main():
         elif name == "spmm_core":
             ms, cs = chain(lambda b: b + eps * _spmm_core(
                 plan.offsets, plan.n, plan.m, grid0, b), B)
+        elif name == "spmm_core_bf16":
+            g16 = grid0.astype(jnp.bfloat16)
+            B16 = B.astype(jnp.bfloat16)
+            ms, cs = chain(lambda b: b + _spmm_core(
+                plan.offsets, plan.n, plan.m, g16, b) * eps.astype(
+                    jnp.bfloat16), B16)
         elif name == "sddmm_core":
             ms, cs = chain(lambda g: g + eps * jnp.reshape(
                 dia_sddmm(plan, g, B).sum(), ()), G)
+        elif name == "sddmm_core_bf16":
+            B16 = B.astype(jnp.bfloat16)
+            ms, cs = chain(lambda g: g + jnp.reshape(
+                dia_sddmm(plan, g, B16).sum(), ()).astype(jnp.bfloat16)
+                * jnp.bfloat16(1e-12), G.astype(jnp.bfloat16))
         elif name == "spmm_t_core":
             offsets_T, shift = _transpose_grid(plan)
             gT = shift(grid0)

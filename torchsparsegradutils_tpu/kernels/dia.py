@@ -574,11 +574,11 @@ def _dia_sddmm_grid_xla(plan: DiaPlan, X, Y):
 # public entry points (dispatch Pallas / XLA)
 # --------------------------------------------------------------------------
 
-def _spmm_core(offsets, n, m, grid_v, B):
+def _spmm_core(offsets, n, m, grid_v, B, gv_splits=None):
     if (B.shape[1] >= MIN_P_PALLAS
             and B.dtype in (jnp.float32, jnp.bfloat16)):
         from .dia_mxu import spmm_core_mxu
-        out = spmm_core_mxu(offsets, n, m, grid_v, B)
+        out = spmm_core_mxu(offsets, n, m, grid_v, B, gv_splits=gv_splits)
         if out is not None:
             return out
         out = _spmm_core_pallas(offsets, n, m, grid_v, B)
@@ -652,22 +652,29 @@ def prepared_matvec(plan: DiaPlan, data: jax.Array, transpose: bool):
     """Closure ``x -> A @ x`` (or ``Aᵀ @ x``) with every per-call value
     relayout hoisted — build it once before a Krylov ``while_loop`` so
     iterations pay only the shifted streams."""
+    from .dia_mxu import split_grid_for_mxu
+
     gv = values_to_grid(plan, data)
     rv = resid_values(plan, data) if plan.is_hybrid else None
     if transpose:
         offsets_T, shift = _transpose_grid(plan)
         gvT = shift(gv)
+        gvT_splits = split_grid_for_mxu(gvT)
 
         def mv_t(x):
-            out = _spmm_core(offsets_T, plan.m, plan.n, gvT, x)
+            out = _spmm_core(offsets_T, plan.m, plan.n, gvT, x,
+                             gv_splits=gvT_splits)
             if rv is not None:
                 out = out + _resid_spmm_t(plan, rv, x)
             return out
 
         return mv_t
 
+    gv_splits = split_grid_for_mxu(gv)
+
     def mv(x):
-        out = _spmm_core(plan.offsets, plan.n, plan.m, gv, x)
+        out = _spmm_core(plan.offsets, plan.n, plan.m, gv, x,
+                         gv_splits=gv_splits)
         if rv is not None:
             out = out + _resid_spmm(plan, rv, x)
         return out

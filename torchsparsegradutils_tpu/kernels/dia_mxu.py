@@ -15,7 +15,7 @@ This core moves the shift-multiply-accumulate onto the MXU:
    gather index ``(j, l) -> k`` is a compile-time constant; missing
    positions read a zeroed dummy lane).  No scatter matmul, no funnel
    shifts, and the ``v`` values enter the product exactly.
-3. One MXU contraction per cluster:
+3. One MXU contraction per cluster and bf16-split pair:
    ``out[j, :] += M(128, E+128) @ Win_c(E+128, 128)`` where ``Win_c``
    is the cluster's contiguous source-row window — because
    ``M[j, j + (off_k - start_c)] = v[j, k]`` makes the matmul exactly
@@ -27,9 +27,23 @@ This core moves the shift-multiply-accumulate onto the MXU:
    with cheap VMEM copies.  Every B row crosses HBM exactly once
    (probed on v5e: per-cluster windows re-read B 3.4x and pin the
    kernel at ~1.1 ms of pure DMA).
-5. f32 inputs run the exact **bf16x6 decomposition** (3-way splits;
-   bf16 products are exact in f32, so the result matches an f32
-   matmul); bf16 inputs take a single pass.
+5. **Pre-split operands** (round-4): f32 operands are decomposed into
+   bf16 components *once* — the streamed operand at DMA-landing time
+   (the halo is resident as up to three bf16 halos), the value grid
+   outside the kernel (hoistable by ``prepared_matvec``) — so the
+   per-sub-tile body is pure gathers + bf16 MXU passes.  Round-3's
+   kernel re-split every window per sub-tile, which made it VPU-bound
+   (measured 1.28 ms vs the 0.74 ms MXU floor at cfd2-stencil scale).
+6. **Virtual padding** (round-4): the kernel never materialises a
+   padded copy of B/Y (a 63 MB HBM round-trip per call at cfd2 scale).
+   Boundary grid steps get statically-sized partial DMAs; out-of-range
+   halo rows are zero-filled in VMEM.
+7. f32 x f32 runs the exact **bf16x6 decomposition** (3-way splits;
+   bf16 products are exact in f32 and the dropped cross terms are
+   O(2^-24), so the result matches an f32 matmul to the library's
+   1e-5 contract).  Mixed f32 x bf16 takes 3 passes, bf16 x bf16 one.
+   ``TSGU_MXU_PREC=fast`` opts into 2-way splits / 3 passes
+   (~2^-16 relative, TF32-like) for f32 operands.
 
 The reference runs these patterns through generic CUDA gather kernels
 (sparse_matmul.py:155); the banded-matmul formulation has no reference
@@ -38,6 +52,8 @@ analogue — it exists because the TPU's MXU is the only unit that can
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,12 +65,73 @@ from ..types import as_device_array
 
 LANE = 128
 MAX_CLUSTERS = 6
-VMEM_BUDGET = 12 * 1024 * 1024
+# v5e/v6e cores carry 128 MB of VMEM; the default Mosaic scoped limit is
+# only 16 MB, so the kernels raise it (vmem_limit_bytes below) and plan
+# against a 40 MB budget — bigger R_T tiles mean fewer rolling-halo steps
+# (roll traffic scales with step count) and larger, better-pipelined DMAs.
+# Override: TSGU_MXU_VMEM (MB).
+VMEM_BUDGET = int(os.environ.get("TSGU_MXU_VMEM", "40")) * 1024 * 1024
+VMEM_LIMIT = VMEM_BUDGET + 24 * 1024 * 1024   # headroom for Mosaic scratch
 DUMMY = LANE - 1          # zeroed pad lane of the value tile
 
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def _prec() -> str:
+    """MXU decomposition precision for f32 operands: ``exact`` (3-way
+    bf16 splits, 6 passes for f32xf32 — matches f32 to ~2^-23) or
+    ``fast`` (2-way splits, 3 passes, ~2^-16 — TF32-like)."""
+    return os.environ.get("TSGU_MXU_PREC", "exact")
+
+
+def _nsplits(dtype, prec: str) -> int:
+    if dtype == jnp.bfloat16:
+        return 1
+    return 2 if prec == "fast" else 3
+
+
+def _pass_pairs(nsv: int, nsb: int):
+    """(i, j) bf16-component pairs to contract, smallest terms first.
+
+    Keeps every pair with ``i + j <= max(nsv, nsb) - 1``: for 3x3 the
+    standard 6-term bf16x6 set (drops O(2^-24) cross terms), for 2x2
+    the 3-term fast set, for 1xN all N terms."""
+    cut = max(nsv, nsb) - 1
+    ps = [(i, j) for i in range(nsv) for j in range(nsb) if i + j <= cut]
+    return sorted(ps, key=lambda t: -(t[0] + t[1]))
+
+
+def split_bf16(x, ns: int):
+    """Decompose x into ``ns`` bf16 components with x ~= Σ components
+    (exact for ns=3 on f32: 3 x 8 mantissa bits)."""
+    if ns == 1:
+        return (x.astype(jnp.bfloat16),)
+    xf = x.astype(jnp.float32)
+    x0 = xf.astype(jnp.bfloat16)
+    r = xf - x0.astype(jnp.float32)
+    x1 = r.astype(jnp.bfloat16)
+    if ns == 2:
+        return (x0, x1)
+    x2 = (r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (x0, x1, x2)
+
+
+def split_f32_components(x, ns: int):
+    """bf16 components of x *widened back to f32* — Mosaic's lane gather
+    (take_along_axis) only handles 32-bit element types, so the in-kernel
+    banded-operand gathers run on these f32 tiles and the (lossless)
+    bf16 narrowing happens after the gather."""
+    if ns == 1:
+        return (x.astype(jnp.float32),)
+    return tuple(c.astype(jnp.float32) for c in split_bf16(x, ns))
+
+
+def split_grid_for_mxu(grid_v):
+    """Pre-split a DIA value grid for :func:`spmm_core_mxu` — call once
+    before a Krylov loop (``prepared_matvec``) so iterations skip it."""
+    return split_f32_components(grid_v, _nsplits(grid_v.dtype, _prec()))
 
 
 def cluster_offsets(offsets: np.ndarray, span_cap: int):
@@ -100,60 +177,76 @@ def plan_clusters(offsets: np.ndarray):
     return best[1], best[2]
 
 
-def _geometry(clusters, E: int, n: int, m: int, n_tables: int = 1):
-    """Rolling-window geometry: tile size, halo span, padding.  Tile i's
-    halo holds padded-B rows ``[i*R_T + base0, i*R_T + base0 + H)``;
-    cluster c's window for sub-tile ``s`` starts ``coff_c + 128*s`` rows
-    into the halo.  ``n_tables`` counts the resident (C, nb, 128, 128)
-    static tables: 1 for SpMM (gather index), 2 for SDDMM (extract index
-    + mask) — undercounting them lets Mosaic OOM at compile time."""
+def _geometry(clusters, E: int, n: int, m: int, nsb: int, item_b: int,
+              n_tables: int = 1, n_val_inputs: int = 3):
+    """Rolling-window geometry: tile size, halo span, clipping to n.
+    Tile i's halo holds source rows ``[i*R_T + min_st, i*R_T + min_st +
+    H)``; cluster c's window for sub-tile ``s`` starts ``coff_c +
+    128*s`` rows into the halo.  VMEM model counts the ``nsb`` bf16
+    halos, the double-buffered f32/bf16 staging tile, and — at 2x each,
+    because the Pallas pipeline double-buffers every grid-indexed
+    block — the value/x inputs and the out block (measured: the round-3
+    single-buffer model said 9.8 MB where Mosaic compiled 16.2 MB).
+    Returns None when no tile size fits the budget (callers fall back
+    to the VPU/XLA cores)."""
     C = len(clusters)
     starts = [st for st, _ in clusters]
     min_st, max_st = min(starts), max(starts)
     span = -(-(max_st + E - min_st) // LANE) * LANE
     nb = E // LANE + 1
-    for R_T in (4096, 2048, 1024, 512, 256, 128):
+    n_cap = -(-n // LANE) * LANE
+    for R_T in (4096, 3072, 2048, 1536, 1024, 768, 512, 384, 256, 128):
+        R_T = min(R_T, max(LANE, n_cap))
         H = R_T + span
-        vmem = (H * LANE * 4              # halo
-                + 2 * R_T * LANE * 4      # staging double buffer
-                + 2 * R_T * LANE * 4      # v/x tile + out tile (phys pad)
-                + n_tables * C * nb * LANE * LANE * 4)
-        if vmem <= VMEM_BUDGET or R_T == 128:
-            break
-    ntiles = -(-n // R_T)
-    LO = max(0, -min_st)
-    base0 = min_st + LO
-    hi_pad = max(0, (ntiles - 1) * R_T + base0 + R_T + span - (LO + m))
-    coffs = [st - min_st for st in starts]
-    return R_T, span, ntiles, LO, base0, hi_pad, coffs
+        vmem = (nsb * H * LANE * 2                  # bf16 halos (scratch)
+                + 2 * R_T * LANE * item_b           # staging double buffer
+                + 2 * R_T * LANE * item_b           # out block, 2 buffers
+                + 2 * n_val_inputs * R_T * LANE * 4  # value/x inputs, f32
+                + 2 * n_tables * C * nb * LANE * LANE * 4)
+        if vmem <= VMEM_BUDGET:
+            ntiles = -(-n // R_T)
+            coffs = [st - min_st for st in starts]
+            return R_T, span, ntiles, min_st, coffs
+    return None
 
 
-def _split3(a):
-    """f32 -> (a0, a1, a2) bf16 with a ~= a0 + a1 + a2 to ~2^-27."""
-    a0 = a.astype(jnp.bfloat16)
-    r = a - a0.astype(jnp.float32)
-    a1 = r.astype(jnp.bfloat16)
-    a2 = (r - a1.astype(jnp.float32)).astype(jnp.bfloat16)
-    return a0, a1, a2
+def _stage_schedule(ntiles: int, R_T: int, start0: int, m: int):
+    """Static DMA schedule for the per-step staging refill: step i >= 1
+    covers source rows ``[i*R_T + start0, +R_T)``.  Returns the
+    contiguous full-DMA range ``[i0f, i1f)`` and a dict of boundary
+    steps -> (zero_head_rows, valid_rows)."""
+    boundary = {}
+    full = []
+    for i in range(1, ntiles):
+        a = i * R_T + start0
+        lo, hi = max(a, 0), min(a + R_T, m)
+        lv = max(0, hi - lo)
+        zh = (lo - a) if lv else 0
+        if lv == R_T:
+            full.append(i)
+        else:
+            boundary[i] = (zh, lv)
+    if full:
+        i0f, i1f = full[0], full[-1] + 1
+        assert full == list(range(i0f, i1f)), "staging schedule not contiguous"
+    else:
+        i0f = i1f = 1
+    return i0f, i1f, boundary
 
 
-def _split3_dot(A, B, dn):
-    """dot_general with dimension numbers ``dn``; f32 operands take the
-    standard bf16x6 decomposition (3-way splits, the 6 product terms
-    down to 2^-18; the same scheme XLA uses for Precision.HIGHEST) —
-    bf16xbf16 products are exact in f32, so the result matches an f32
-    matmul.  A 2-way/4-pass split is NOT enough: it drops ~2^-18
-    relative per product, which breaks the library's 1e-5 dense-parity
-    contract.  bf16 inputs take a single pass."""
-    def d(a, b):
-        return jax.lax.dot_general(a, b, dn,
-                                   preferred_element_type=jnp.float32)
-    if A.dtype == jnp.bfloat16 and B.dtype == jnp.bfloat16:
-        return d(A, B)
-    A0, A1, A2 = _split3(A.astype(jnp.float32))
-    B0, B1, B2 = _split3(B.astype(jnp.float32))
-    return (d(A0, B2) + d(A1, B1) + d(A2, B0)) + \
-        (d(A0, B1) + d(A1, B0)) + d(A0, B0)
+def _init_schedule(min_st: int, H: int, R_T: int, m: int):
+    """Initial halo fill: halo rows [0, H) <-> source rows
+    [min_st, min_st + H).  Returns (LO, chunks, tail0): zero rows
+    [0, LO) and [tail0, H); chunks are (dst_off, src_start, nrows)."""
+    lo_r = max(0, min_st)
+    LO = lo_r - min_st
+    Lh = max(0, min(m, min_st + H) - lo_r)
+    chunks = []
+    t = 0
+    while t * R_T < Lh:
+        chunks.append((LO + t * R_T, lo_r + t * R_T, min(R_T, Lh - t * R_T)))
+        t += 1
+    return LO, chunks, LO + Lh
 
 
 _DN_NT = (((1,), (0,)), ((), ()))     # (a, k) @ (k, b)
@@ -194,31 +287,183 @@ def _p_extract(clusters, offsets, E: int, K: int):
     return idx, msk
 
 
-def _roll_and_fill(halo, staging, slot, span: int, R_T: int):
-    """Shift the resident window down R_T rows and append the staged
-    rows: ``halo[:span] = halo[R_T:]; halo[span:] = staging[slot]``.
+# --------------------------------------------------------------------------
+# in-kernel halo-stream helpers (shared by SpMM and SDDMM)
+# --------------------------------------------------------------------------
+
+def _zero_halos(halos, off, nrows: int):
+    """halo[off : off+nrows] = 0 for every split halo (off may be traced,
+    nrows static, both 8-row aligned)."""
+    fullb, tail = nrows // LANE, nrows % LANE
+    if fullb:
+        def z(t, _):
+            for h in halos:
+                h[pl.ds(off + t * LANE, LANE), :] = jnp.zeros(
+                    (LANE, LANE), h.dtype)
+            return 0
+        jax.lax.fori_loop(0, fullb, z, 0)
+    if tail:
+        for h in halos:
+            h[pl.ds(off + fullb * LANE, tail), :] = jnp.zeros(
+                (tail, LANE), h.dtype)
+
+
+def _zero_staging(staging, slot, off: int, nrows: int):
+    fullb, tail = nrows // LANE, nrows % LANE
+    if fullb:
+        def z(t, _):
+            staging[slot, pl.ds(off + t * LANE, LANE), :] = jnp.zeros(
+                (LANE, LANE), staging.dtype)
+            return 0
+        jax.lax.fori_loop(0, fullb, z, 0)
+    if tail:
+        staging[slot, pl.ds(off + fullb * LANE, tail), :] = jnp.zeros(
+            (tail, LANE), staging.dtype)
+
+
+def _split_append(halos, dst_off, staging, slot, nrows: int):
+    """Split staging[slot, :nrows] into the bf16 halo components at
+    halo rows [dst_off, dst_off + nrows) — the one place f32 operand
+    rows are decomposed (every later window read is already bf16)."""
+    def store(doff, soff, rows):
+        x = staging[slot, pl.ds(soff, rows), :]
+        if len(halos) == 1:
+            halos[0][pl.ds(doff, rows), :] = x.astype(halos[0].dtype)
+            return
+        xf = x.astype(jnp.float32)
+        x0 = xf.astype(jnp.bfloat16)
+        halos[0][pl.ds(doff, rows), :] = x0
+        r = xf - x0.astype(jnp.float32)
+        x1 = r.astype(jnp.bfloat16)
+        halos[1][pl.ds(doff, rows), :] = x1
+        if len(halos) == 3:
+            halos[2][pl.ds(doff, rows), :] = (
+                r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    fullb, tail = nrows // LANE, nrows % LANE
+    if fullb:
+        def body(t, _):
+            store(dst_off + t * LANE, t * LANE, LANE)
+            return 0
+        jax.lax.fori_loop(0, fullb, body, 0)
+    if tail:
+        store(dst_off + fullb * LANE, fullb * LANE, tail)
+
+
+def _roll(halos, span: int, R_T: int):
+    """Shift every resident halo down R_T rows: halo[:span] = halo[R_T:].
     128-row chunks in increasing order (each chunk's source is R_T rows
     ahead of its destination, so the overlap is read-before-write)."""
     def shift(t, _):
-        halo[pl.ds(t * LANE, LANE), :] = halo[pl.ds(t * LANE + R_T, LANE), :]
+        for h in halos:
+            h[pl.ds(t * LANE, LANE), :] = h[pl.ds(t * LANE + R_T, LANE), :]
         return 0
     jax.lax.fori_loop(0, span // LANE, shift, 0)
 
-    def fill(t, _):
-        halo[pl.ds(span + t * LANE, LANE), :] = staging[slot,
-                                                        pl.ds(t * LANE, LANE), :]
-        return 0
-    jax.lax.fori_loop(0, R_T // LANE, fill, 0)
+
+def _emit_halo_stream(i, hbm, staging, sems, halos, cfg):
+    """One grid step of the rolling-halo machinery: prefetch the next
+    staging tile (full or statically-partial at matrix boundaries),
+    wait on this step's tile, zero out-of-range rows, roll the resident
+    halos and split-append the new rows.  ``cfg`` holds the static
+    schedule from :func:`_stage_schedule` / :func:`_init_schedule`."""
+    R_T, span, start0 = cfg["R_T"], cfg["span"], cfg["start0"]
+    i0f, i1f, boundary = cfg["i0f"], cfg["i1f"], cfg["boundary"]
+    LO, chunks, tail0 = cfg["LO"], cfg["chunks"], cfg["tail0"]
+    H = R_T + span
+    two = jnp.int32(2)  # literal stays int32 under x64
+    slot = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + 1, two)
+
+    def full_dma(st, buf):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(st * R_T + start0, R_T), :],
+            staging.at[buf], sems.at[buf])
+
+    def part_dma(st, buf, zh, lv):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(st * R_T + start0 + zh, lv), :],
+            staging.at[buf, pl.ds(zh, lv), :], sems.at[buf])
+
+    @pl.when(i == 0)
+    def _():
+        if LO:
+            _zero_halos(halos, 0, LO)
+        for (dst, src, rows) in chunks:
+            cp = pltpu.make_async_copy(
+                hbm.at[pl.ds(src, rows), :],
+                staging.at[0, pl.ds(0, rows), :], sems.at[0])
+            cp.start()
+            cp.wait()
+            _split_append(halos, dst, staging, 0, rows)
+        if tail0 < H:
+            _zero_halos(halos, tail0, H - tail0)
+
+    # prefetch the NEXT step's rows (overlaps this step's compute)
+    if i1f > i0f:
+        @pl.when(jnp.logical_and(i + 1 >= i0f, i + 1 < i1f))
+        def _():
+            full_dma(i + 1, nxt).start()
+    for st, (zh, lv) in cfg["boundary"].items():
+        if lv:
+            @pl.when(i + 1 == st)
+            def _(st=st, zh=zh, lv=lv):
+                part_dma(st, nxt, zh, lv).start()
+
+    # consume THIS step's rows
+    if i1f > i0f:
+        @pl.when(jnp.logical_and(i >= i0f, i < i1f))
+        def _():
+            full_dma(i, slot).wait()
+    for st, (zh, lv) in boundary.items():
+        if lv:
+            @pl.when(i == st)
+            def _(st=st, zh=zh, lv=lv):
+                part_dma(st, slot, zh, lv).wait()
+    for st, (zh, lv) in boundary.items():
+        @pl.when(i == st)
+        def _(st=st, zh=zh, lv=lv):
+            if zh:
+                _zero_staging(staging, slot, 0, zh)
+            if zh + lv < R_T:
+                _zero_staging(staging, slot, zh + lv, R_T - zh - lv)
+
+    @pl.when(i > 0)
+    def _():
+        _roll(halos, span, R_T)
+        _split_append(halos, span, staging, slot, R_T)
 
 
-def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B):
+def _halo_scratch(nsb: int, H: int, staging_dtype, R_T: int):
+    return ([pltpu.VMEM((H, LANE), jnp.bfloat16) for _ in range(nsb)]
+            + [pltpu.VMEM((2, R_T, LANE), staging_dtype),
+               pltpu.SemaphoreType.DMA((2,))])
+
+
+def _dma_cfg(R_T, span, ntiles, min_st, m):
+    i0f, i1f, boundary = _stage_schedule(ntiles, R_T, min_st + span, m)
+    LO, chunks, tail0 = _init_schedule(min_st, R_T + span, R_T, m)
+    return {"R_T": R_T, "span": span, "start0": min_st + span,
+            "i0f": i0f, "i1f": i1f, "boundary": boundary,
+            "LO": LO, "chunks": chunks, "tail0": tail0}
+
+
+# --------------------------------------------------------------------------
+# SpMM
+# --------------------------------------------------------------------------
+
+def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
+                  gv_splits=None):
     """out (n, p) = Σ_k grid_v[:, k] * B[r + off_k, :] via clustered
-    banded matmuls over a rolling source window; returns None when the
-    pattern/dtype is out of scope (callers fall back to the VPU halo
-    kernel)."""
+    banded matmuls over a rolling pre-split source window; returns None
+    when the pattern/dtype is out of scope (callers fall back to the
+    VPU halo kernel).  ``gv_splits`` may carry the hoisted
+    :func:`split_grid_for_mxu` result."""
     K = len(offsets)
     p = B.shape[1]
     if B.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if grid_v.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     if p < 64:
         # lane-padding to 128 would amplify the B/out streams >2x; the
@@ -228,97 +473,106 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B):
     if planned is None:
         return None
     clusters, E = planned
+    prec = _prec()
+    nsv = _nsplits(grid_v.dtype, prec)
+    nsb = _nsplits(B.dtype, prec)
+    geo = _geometry(clusters, E, n, m, nsb, B.dtype.itemsize,
+                    n_val_inputs=nsv)
+    if geo is None:
+        return None
+    R_T, span, ntiles, min_st, coffs = geo
     C = len(clusters)
     Wd = E + LANE
     nb = Wd // LANE
-    R_T, span, ntiles, LO, base0, hi_pad, coffs = _geometry(clusters, E, n, m)
     H = R_T + span
     n_pad = ntiles * R_T
     subs = R_T // LANE
 
-    if LO or hi_pad:
-        B = jnp.pad(B, ((LO, hi_pad), (0, 0)))
-    gv = grid_v if n_pad == n else jnp.pad(grid_v, ((0, n_pad - n), (0, 0)))
+    m_eff = m
+    if m % 8:
+        B = jnp.pad(B, ((0, 8 - m % 8), (0, 0)))
+        m_eff = m + 8 - m % 8
+    if gv_splits is None or len(gv_splits) != nsv:
+        gv_splits = split_f32_components(grid_v, nsv)
+    if n_pad != n:
+        gv_splits = tuple(jnp.pad(g, ((0, n_pad - n), (0, 0)))
+                          for g in gv_splits)
     idx_np = _m_gather_idx(clusters, offsets, E)
+    cfg = _dma_cfg(R_T, span, ntiles, min_st, m_eff)
+    pairs = _pass_pairs(nsv, nsb)
 
-    def kernel(idx_ref, v_ref, b_hbm, out_ref, halo, staging, sems):
+    def kernel(*refs):
+        idx_ref = refs[0]
+        v_refs = refs[1:1 + nsv]
+        b_hbm = refs[1 + nsv]
+        out_ref = refs[2 + nsv]
+        halos = list(refs[3 + nsv:3 + nsv + nsb])
+        staging = refs[3 + nsv + nsb]
+        sems = refs[4 + nsv + nsb]
         i = pl.program_id(0)
-        two = jnp.int32(2)
-        slot = jax.lax.rem(i, two)
-        nxt = jax.lax.rem(i + 1, two)
-
-        def stage_dma(st, buf):
-            return pltpu.make_async_copy(
-                b_hbm.at[pl.ds(st * R_T + base0 + span, R_T), :],
-                staging.at[buf], sems.at[buf])
-
-        @pl.when(i + 1 < pl.num_programs(0))
-        def _():
-            stage_dma(i + 1, nxt).start()
-
-        @pl.when(i == 0)
-        def _():
-            big = pltpu.make_async_copy(
-                b_hbm.at[pl.ds(base0, H), :], halo, sems.at[0])
-            big.start()
-            big.wait()
-
-        @pl.when(i > 0)
-        def _():
-            stage_dma(i, slot).wait()
-            _roll_and_fill(halo, staging, slot, span, R_T)
-
+        _emit_halo_stream(i, b_hbm, staging, sems, halos, cfg)
         idx_v = idx_ref[...]
 
         def body(sub, _):
-            vt = v_ref[pl.ds(sub * LANE, LANE), :].astype(jnp.float32)
-            vt_pad = jnp.pad(vt, ((0, 0), (0, LANE - K)))
+            vts = [jnp.pad(vr[pl.ds(sub * LANE, LANE), :],
+                           ((0, 0), (0, LANE - K))) for vr in v_refs]
             acc = jnp.zeros((LANE, LANE), jnp.float32)
             for c in range(C):
-                M = jnp.concatenate(
-                    [jnp.take_along_axis(vt_pad, idx_v[c, b], axis=1)
-                     for b in range(nb)], axis=1)          # (128, Wd)
-                win = halo[pl.ds(coffs[c] + sub * LANE, Wd), :]
-                acc = acc + _split3_dot(M, win, _DN_NT)
+                Ms = {}
+                for (iv, jb) in pairs:
+                    if iv not in Ms:
+                        # gather in 32-bit (Mosaic lane-gather width),
+                        # then the lossless bf16 narrowing
+                        Ms[iv] = jnp.concatenate(
+                            [jnp.take_along_axis(vts[iv], idx_v[c, b],
+                                                 axis=1)
+                             for b in range(nb)],
+                            axis=1).astype(jnp.bfloat16)      # (128, Wd)
+                    win = halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
+                    acc = acc + jax.lax.dot_general(
+                        Ms[iv], win, _DN_NT,
+                        preferred_element_type=jnp.float32)
             out_ref[pl.ds(sub * LANE, LANE), :] = acc.astype(out_ref.dtype)
             return 0
 
         jax.lax.fori_loop(0, subs, body, 0)
 
+    in_specs = ([pl.BlockSpec((C, nb, LANE, LANE), lambda i: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((R_T, K), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * nsv
+                + [pl.BlockSpec(memory_space=pl.ANY)])
+
     @jax.custom_batching.sequential_vmap
-    def run(gv, Bl):
+    def run(gvs, Bl):
         # sequential under vmap: ANY-space DMA operands cannot be batched
         return pl.pallas_call(
             kernel,
             grid=(ntiles,),
-            in_specs=[
-                pl.BlockSpec((C, nb, LANE, LANE), lambda i: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R_T, K), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((R_T, LANE), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, LANE), B.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((H, LANE), B.dtype),
-                pltpu.VMEM((2, R_T, LANE), B.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=_halo_scratch(nsb, H, B.dtype, R_T),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
             interpret=_interpret(),
-        )(as_device_array(idx_np), gv, Bl)
+        )(as_device_array(idx_np), *gvs, Bl)
 
     p_blocks = []
     for jb in range(-(-p // LANE)):
         Bl = B[:, jb * LANE:(jb + 1) * LANE]
         if Bl.shape[1] < LANE:
             Bl = jnp.pad(Bl, ((0, 0), (0, LANE - Bl.shape[1])))
-        p_blocks.append(run(gv, Bl)[:n])
+        p_blocks.append(run(gv_splits, Bl)[:n])
     out = p_blocks[0] if len(p_blocks) == 1 else jnp.concatenate(
         p_blocks, axis=1)
     return out[:, :p]
 
+
+# --------------------------------------------------------------------------
+# SDDMM
+# --------------------------------------------------------------------------
 
 def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
     """d_grid (n, K) with d_grid[r, k] = dot(X[r], Y[r + off_k]) via the
@@ -337,57 +591,51 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
     if planned is None:
         return None
     clusters, E = planned
+    prec = _prec()
+    nsx = _nsplits(X.dtype, prec)
+    nsy = _nsplits(Y.dtype, prec)
+    geo = _geometry(clusters, E, n, m, nsy, Y.dtype.itemsize, n_tables=2,
+                    n_val_inputs=1)
+    if geo is None:
+        return None
+    R_T, span, ntiles, min_st, coffs = geo
     C = len(clusters)
     Wd = E + LANE
     nb = Wd // LANE
-    R_T, span, ntiles, LO, base0, hi_pad, coffs = _geometry(
-        clusters, E, n, m, n_tables=2)
     H = R_T + span
     n_pad = ntiles * R_T
     subs = R_T // LANE
 
-    if LO or hi_pad:
-        Y = jnp.pad(Y, ((LO, hi_pad), (0, 0)))
+    m_eff = m
+    if m % 8:
+        Y = jnp.pad(Y, ((0, 8 - m % 8), (0, 0)))
+        m_eff = m + 8 - m % 8
     Xp = X if n_pad == n else jnp.pad(X, ((0, n_pad - n), (0, 0)))
     eidx_np, emsk_np = _p_extract(clusters, offsets, E, K)
+    cfg = _dma_cfg(R_T, span, ntiles, min_st, m_eff)
+    pairs = _pass_pairs(nsx, nsy)
 
-    def kernel(eidx_ref, emsk_ref, x_ref, y_hbm, out_ref, halo, staging,
-               sems):
+    def kernel(eidx_ref, emsk_ref, x_ref, y_hbm, out_ref, *scratch):
+        halos = list(scratch[:nsy])
+        staging = scratch[nsy]
+        sems = scratch[nsy + 1]
         i = pl.program_id(0)
-        two = jnp.int32(2)
-        slot = jax.lax.rem(i, two)
-        nxt = jax.lax.rem(i + 1, two)
-
-        def stage_dma(st, buf):
-            return pltpu.make_async_copy(
-                y_hbm.at[pl.ds(st * R_T + base0 + span, R_T), :],
-                staging.at[buf], sems.at[buf])
-
-        @pl.when(i + 1 < pl.num_programs(0))
-        def _():
-            stage_dma(i + 1, nxt).start()
-
-        @pl.when(i == 0)
-        def _():
-            big = pltpu.make_async_copy(
-                y_hbm.at[pl.ds(base0, H), :], halo, sems.at[0])
-            big.start()
-            big.wait()
-
-        @pl.when(i > 0)
-        def _():
-            stage_dma(i, slot).wait()
-            _roll_and_fill(halo, staging, slot, span, R_T)
-
+        _emit_halo_stream(i, y_hbm, staging, sems, halos, cfg)
         eidx_v = eidx_ref[...]
         emsk_v = emsk_ref[...]
 
         def body(sub, _):
-            xt = x_ref[pl.ds(sub * LANE, LANE), :]
+            xts = split_bf16(x_ref[pl.ds(sub * LANE, LANE), :], nsx)
             acc = jnp.zeros((LANE, LANE), jnp.float32)
             for c in range(C):
-                win = halo[pl.ds(coffs[c] + sub * LANE, Wd), :]
-                P = _split3_dot(xt, win, _DN_TT)            # (128, Wd)
+                win = [halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
+                       for jb in range(nsy)]
+                P = None
+                for (ix, jy) in pairs:
+                    t = jax.lax.dot_general(
+                        xts[ix], win[jy], _DN_TT,
+                        preferred_element_type=jnp.float32)   # (128, Wd)
+                    P = t if P is None else P + t
                 for b in range(nb):
                     got = jnp.take_along_axis(
                         P[:, b * LANE:(b + 1) * LANE], eidx_v[c, b], axis=1)
@@ -416,11 +664,9 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
             out_specs=pl.BlockSpec((R_T, K), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, K), X.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((H, LANE), Y.dtype),
-                pltpu.VMEM((2, R_T, LANE), Y.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=_halo_scratch(nsy, H, Y.dtype, R_T),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
             interpret=_interpret(),
         )(as_device_array(eidx_np), as_device_array(emsk_np), Xl, Yl)
 
