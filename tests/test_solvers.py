@@ -300,3 +300,84 @@ class TestLSMRComplex:
         xr = np.linalg.solve(Ar.conj().T @ Ar + damp**2 * np.eye(m),
                              Ar.conj().T @ b)
         np.testing.assert_allclose(np.asarray(x), xr, rtol=2e-3, atol=2e-4)
+
+
+class TestSolveDiagnostics:
+    """diagnostics=True returns (x, SolveInfo); eager non-convergence
+    warns (reference parity: linear_cg.py:413-423, bicgstab.py:9-19)."""
+
+    def test_cg_diagnostics_converged(self, key):
+        from torchsparsegradutils_tpu.solvers import SolveInfo
+        A = _spd(key)
+        B = jax.random.normal(jax.random.fold_in(key, 1), (24, 3))
+        x, info = linear_cg(
+            A, B, settings=LinearCGSettings(max_iter=300, rtol=1e-6),
+            diagnostics=True)
+        assert isinstance(info, SolveInfo)
+        assert bool(np.all(np.asarray(info.converged)))
+        assert 0 < int(info.iterations) < 300
+        assert info.residual.shape == (3,)
+        r = np.linalg.norm(np.asarray(A.todense() @ x - B), axis=0)
+        np.testing.assert_allclose(np.asarray(info.residual), r,
+                                   rtol=1e-2, atol=1e-5)
+
+    def test_cg_nonconvergence_warns_eager(self, key):
+        A = _spd(key)
+        b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+        with pytest.warns(UserWarning, match="did not converge"):
+            _ = linear_cg(A, b, settings=LinearCGSettings(max_iter=2,
+                                                          rtol=1e-12))
+
+    def test_cg_nonconvergence_silent_under_jit(self, key):
+        import warnings as _w
+        A = _spd(key)
+        b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+
+        @jax.jit
+        def solve(d, b):
+            return linear_cg(A.with_data(d), b,
+                             settings=LinearCGSettings(max_iter=2,
+                                                       rtol=1e-12))
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            jax.block_until_ready(solve(A.data, b))
+
+    def test_bicgstab_diagnostics(self, key):
+        A = rand_sparse(key, (30, 30), 120, layout="csr")
+        A = A.with_data(A.data * 0.1)
+        from torchsparsegradutils_tpu.utils.structure import sparse_eye
+        Ad = A.todense() + 3.0 * jnp.eye(30)
+        b = jax.random.normal(jax.random.fold_in(key, 1), (30,))
+        x, info = bicgstab(Ad, b,
+                           settings=BICGSTABSettings(max_iter=200,
+                                                     rtol=1e-6),
+                           diagnostics=True)
+        assert bool(np.all(np.asarray(info.converged)))
+        assert info.residual.ndim == 0 or info.residual.shape == ()
+        np.testing.assert_allclose(np.asarray(Ad @ x), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_bicgstab_nonconvergence_warns(self, key):
+        A = _spd(key)
+        b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+        with pytest.warns(UserWarning, match="did not converge"):
+            _ = bicgstab(A, b, settings=BICGSTABSettings(max_iter=1,
+                                                         rtol=1e-12))
+
+    def test_minres_diagnostics_shifted(self, key):
+        A = _spd(key)
+        B = jax.random.normal(jax.random.fold_in(key, 1), (24, 2))
+        x, info = minres(A, B, shifts=jnp.array([0.0, 1.0]),
+                         settings=MINRESSettings(max_iter=300, rtol=1e-6),
+                         diagnostics=True)
+        assert x.shape == (2, 24, 2)
+        assert info.residual.shape == (2, 2)
+        assert info.converged.shape == (2, 2)
+        assert bool(np.all(np.asarray(info.converged)))
+
+    def test_minres_nonconvergence_warns(self, key):
+        A = _spd(key)
+        b = jax.random.normal(jax.random.fold_in(key, 1), (24,))
+        with pytest.warns(UserWarning, match="did not converge"):
+            _ = minres(A, b, settings=MINRESSettings(max_iter=1,
+                                                     rtol=1e-14))

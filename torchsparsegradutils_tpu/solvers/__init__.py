@@ -1,5 +1,6 @@
 from .bicgstab import BICGSTABSettings, bicgstab
 from .cg import LinearCGSettings, linear_cg
+from .common import SolveInfo
 from .lsmr import LSMRSettings, lsmr
 from .minres import MINRESSettings, minres
 
@@ -12,4 +13,5 @@ __all__ = [
     "lsmr",
     "MINRESSettings",
     "minres",
+    "SolveInfo",
 ]

@@ -16,7 +16,13 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from .common import as_matvec, ensure_matrix, safe_div
+from .common import (
+    SolveInfo,
+    as_matvec,
+    ensure_matrix,
+    maybe_warn_not_converged,
+    safe_div,
+)
 
 __all__ = ["bicgstab", "BICGSTABSettings"]
 
@@ -30,11 +36,15 @@ class BICGSTABSettings:
 
 
 def bicgstab(A, rhs, *, settings: BICGSTABSettings = BICGSTABSettings(),
-             preconditioner: Optional[Callable] = None, x0=None):
+             preconditioner: Optional[Callable] = None, x0=None,
+             diagnostics: bool = False):
     """Solve ``A x = rhs`` for general square ``A``.
 
     ``A`` may be a sparse container, dense matrix, or matvec closure over
-    ``(n,)``/``(n, k)`` blocks.  Returns ``x`` shaped like ``rhs``.
+    ``(n,)``/``(n, k)`` blocks.  Returns ``x`` shaped like ``rhs``; with
+    ``diagnostics=True`` returns ``(x, SolveInfo)`` (the structured
+    counterpart of the reference's logger hook, bicgstab.py:9-19).  In
+    eager use a non-convergence ``UserWarning`` fires.
     """
     mv = as_matvec(A)
     b, was_vec = ensure_matrix(rhs)
@@ -85,6 +95,14 @@ def bicgstab(A, rhs, *, settings: BICGSTABSettings = BICGSTABSettings(),
                 jnp.where(frozen, omega, omega_new), i + 1)
 
     state = (x, r, p, v, rho, alpha, omega, jnp.array(0, jnp.int32))
-    x, r, *_ = jax.lax.while_loop(cond, body, state)
+    out_state = jax.lax.while_loop(cond, body, state)
+    x, r, iters = out_state[0], out_state[1], out_state[-1]
     x = jnp.where(b_is_zero, 0.0, x)
-    return x[:, 0] if was_vec else x
+    res = jnp.sqrt(jnp.sum(r * r, axis=0))
+    conv = res_ok(r)
+    info = SolveInfo(iterations=iters,
+                     residual=res[0] if was_vec else res,
+                     converged=conv[0] if was_vec else conv)
+    maybe_warn_not_converged(info, "bicgstab")
+    x_out = x[:, 0] if was_vec else x
+    return (x_out, info) if diagnostics else x_out

@@ -22,7 +22,14 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from .common import as_matvec, col_norms, ensure_matrix, safe_div
+from .common import (
+    SolveInfo,
+    as_matvec,
+    col_norms,
+    ensure_matrix,
+    maybe_warn_not_converged,
+    safe_div,
+)
 
 __all__ = ["linear_cg", "LinearCGSettings"]
 
@@ -40,7 +47,7 @@ class LinearCGSettings:
 
 def linear_cg(A, rhs, *, settings: LinearCGSettings = LinearCGSettings(),
               preconditioner: Optional[Callable] = None, x0=None,
-              n_tridiag: int = 0):
+              n_tridiag: int = 0, diagnostics: bool = False):
     """Solve ``A x = rhs`` for SPD ``A`` (matrix-like or matvec closure).
 
     Args:
@@ -52,9 +59,15 @@ def linear_cg(A, rhs, *, settings: LinearCGSettings = LinearCGSettings(),
         returning ``(x, (t_diag, t_off, iters))`` with ``t_diag`` of shape
         ``(max_iter, n_tridiag)`` and ``t_off`` of shape
         ``(max_iter-1, n_tridiag)`` (entries beyond ``iters`` are padding).
+      diagnostics: when True, additionally return a
+        :class:`~.common.SolveInfo` (iterations, final residual norms,
+        per-column converged mask) as the last element.
 
     Returns:
-      ``x`` with the shape of ``rhs`` (plus the tridiag tuple if requested).
+      ``x`` with the shape of ``rhs`` (plus the tridiag tuple if
+      requested, plus the ``SolveInfo`` if ``diagnostics=True``).
+      In eager (non-jit) use a non-convergence ``UserWarning`` fires,
+      matching the reference (linear_cg.py:413-423).
     """
     mv = as_matvec(A)
     b, was_vec = ensure_matrix(rhs)
@@ -136,6 +149,15 @@ def linear_cg(A, rhs, *, settings: LinearCGSettings = LinearCGSettings(),
     x = x * scale
     x = jnp.where(b_is_zero, 0.0, x)
     x_out = x[:, 0] if was_vec else x
+    res = col_norms(r) * scale          # de-normalised absolute residual
+    conv = converged_mask(r) | b_is_zero
+    info = SolveInfo(iterations=iters,
+                     residual=res[0] if was_vec else res,
+                     converged=conv[0] if was_vec else conv)
+    maybe_warn_not_converged(info, "linear_cg")
+    out = (x_out,)
     if n_tridiag:
-        return x_out, (t_diag[:, :n_tridiag], t_off[:, :n_tridiag], iters)
-    return x_out
+        out += ((t_diag[:, :n_tridiag], t_off[:, :n_tridiag], iters),)
+    if diagnostics:
+        out += (info,)
+    return out[0] if len(out) == 1 else out

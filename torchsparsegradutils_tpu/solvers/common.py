@@ -15,12 +15,56 @@ builders), mirroring the reference's NamedTuple settings objects
 
 from __future__ import annotations
 
-from typing import Callable
+import warnings
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..types import is_sparse
+
+
+class SolveInfo(NamedTuple):
+    """Solver diagnostics (reference parity: ``linear_cg`` warns on
+    non-convergence at utils/linear_cg.py:413-423, ``lsmr`` returns its
+    iteration count, ``bicgstab`` takes a logger at bicgstab.py:9-19 —
+    this one structure covers all three needs).
+
+    Attributes:
+      iterations: int32 scalar — while_loop steps taken.
+      residual: final absolute residual norm(s), per RHS column (and per
+        shift for multi-shift MINRES).
+      converged: bool mask matching ``residual`` — True where the
+        solver's own stopping criterion was met before ``max_iter``.
+    """
+    iterations: jax.Array
+    residual: jax.Array
+    converged: jax.Array
+
+
+def maybe_warn_not_converged(info: SolveInfo, name: str) -> None:
+    """Reference-parity non-convergence warning (linear_cg.py:413-423).
+
+    Fires only for *concrete* (eager) values — under ``jit`` there is no
+    host value to test, so traced solves stay silent; request
+    ``diagnostics=True`` and inspect the returned :class:`SolveInfo`
+    instead."""
+    conv = info.converged
+    if isinstance(conv, jax.core.Tracer):
+        return
+    try:
+        ok = bool(np.all(np.asarray(conv)))
+        if ok:
+            return
+        iters = int(np.asarray(info.iterations))
+        worst = float(np.max(np.asarray(info.residual)))
+    except Exception:  # noqa: BLE001 - diagnostics must never break a solve
+        return
+    warnings.warn(
+        f"{name}: did not converge after {iters} iterations "
+        f"(worst residual {worst:.3e}); the returned solution is the "
+        "final iterate", UserWarning, stacklevel=3)
 
 
 def _dia_matvec(A, transpose: bool):

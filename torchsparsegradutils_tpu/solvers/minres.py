@@ -21,7 +21,13 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .common import as_matvec, col_norms, ensure_matrix
+from .common import (
+    SolveInfo,
+    as_matvec,
+    col_norms,
+    ensure_matrix,
+    maybe_warn_not_converged,
+)
 
 __all__ = ["minres", "MINRESSettings"]
 
@@ -35,7 +41,8 @@ class MINRESSettings:
 
 
 def minres(A, rhs, *, shifts=None,
-           settings: MINRESSettings = MINRESSettings()):
+           settings: MINRESSettings = MINRESSettings(),
+           diagnostics: bool = False):
     """Solve ``A x = rhs`` (symmetric A), optionally for several shifts.
 
     Args:
@@ -44,10 +51,13 @@ def minres(A, rhs, *, shifts=None,
       shifts: optional ``(s,)`` σ values; solves ``(A + σI) x = b`` jointly
         (the reference's sign convention, minres.py:43), returning a
         leading shift axis.
+      diagnostics: when True, also return a ``SolveInfo`` whose
+        residual/converged carry the same (shift, column) axes as ``x``.
 
     Returns:
       ``x`` shaped like ``rhs`` (with a leading ``(s,)`` axis if shifts
-      were given).
+      were given); ``(x, SolveInfo)`` with ``diagnostics=True``.  In
+      eager use a non-convergence ``UserWarning`` fires.
     """
     mv = as_matvec(A)
     b, was_vec = ensure_matrix(rhs)
@@ -128,9 +138,18 @@ def minres(A, rhs, *, shifts=None,
 
     state = (x, v_prev, v, jnp.zeros((k,), dtype), phibar, cs, sn, dbar,
              epsln, w_prev, w_pprev, jnp.array(0, jnp.int32))
-    x = jax.lax.while_loop(cond, body, state)[0]
+    fin = jax.lax.while_loop(cond, body, state)
+    x, phibar, iters = fin[0], fin[4], fin[-1]
     x = x * scale[None, None, :]
     x = jnp.where(b_is_zero[None, None, :], 0.0, x)
+    # |phibar| is the Paige–Saunders residual-norm estimate on the
+    # unit-scaled system; de-normalise to rhs units
+    res = jnp.abs(phibar) * scale[None, :]
+    conv = frozen_mask(phibar)
     if was_vec:
-        x = x[:, :, 0]
-    return x[0] if squeeze_shift else x
+        x, res, conv = x[:, :, 0], res[:, 0], conv[:, 0]
+    if squeeze_shift:
+        x, res, conv = x[0], res[0], conv[0]
+    info = SolveInfo(iterations=iters, residual=res, converged=conv)
+    maybe_warn_not_converged(info, "minres")
+    return (x, info) if diagnostics else x
