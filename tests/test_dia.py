@@ -210,6 +210,33 @@ class TestDiaOps:
         np.testing.assert_allclose(out[0], ref0, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(out[1], ref1, rtol=1e-5, atol=1e-5)
 
+    def test_batched_above_dia_cap_routes_vmappable(self):
+        # batch > TSGU_DIA_BATCH_CAP: backend="auto" must NOT unroll the
+        # DIA kernel O(batch) times — it routes to the vmappable chunk/XLA
+        # path (one traced copy) and still matches dense (verdict r3 w5)
+        A2 = _mk([-1, 0, 1], shape=(60, 60))
+        bsz = 16  # > default cap of 8
+        data = jnp.stack([A2.data * (i + 1.0) for i in range(bsz)])
+        from torchsparsegradutils_tpu.types import SparseCSR
+        Ab = SparseCSR(A2.indptr_np(), A2.cols_np(), data, (bsz, 60, 60))
+        B = jax.random.normal(KEY, (bsz, 60, 5))
+        G = jax.random.normal(jax.random.fold_in(KEY, 7), (bsz, 60, 5))
+        out = sparse_mm(Ab, B)
+        for i in (0, bsz - 1):
+            ref = sparse_mm(A2.with_data(data[i]), B[i], backend="xla")
+            np.testing.assert_allclose(out[i], ref, rtol=1e-5, atol=1e-5)
+        # grads flow through the vmapped path too
+        g = jax.grad(lambda d: (sparse_mm(Ab.with_data(d), B) * G).sum())(
+            data)
+        gx = jax.grad(lambda d: (sparse_mm(A2.with_data(d), B[0],
+                                           backend="xla") * G[0]).sum())(
+            data[0])
+        np.testing.assert_allclose(g[0], gx, rtol=1e-5, atol=1e-5)
+        # batched sddmm above the cap
+        vals = sddmm(Ab, G, B).data
+        vx = sddmm(A2, G[0], B[0], backend="xla").data
+        np.testing.assert_allclose(vals[0], vx, rtol=1e-5, atol=1e-5)
+
     def test_spd_stencil_properties(self):
         S = make_spd_stencil(KEY, 150, [1, 12, 30])
         dense = np.zeros((150, 150))

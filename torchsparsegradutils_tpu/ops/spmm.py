@@ -94,6 +94,18 @@ def _plans(A, backend: str):
     return (build_ell_plan(rs, cs, n, m), build_ell_plan(cs, rs, m, n))
 
 
+def _dia_batch_cap() -> int:
+    """Max batch size the batched-DIA path unrolls in Python (the DIA
+    kernels DMA from ANY-space operands and cannot be vmapped): each
+    element adds a full kernel instantiation to the program, so compile
+    time is O(batch).  Above the cap, ``backend="auto"`` routes batched
+    ops to the vmappable chunk/XLA paths; explicit ``backend="dia"``
+    still unrolls (caller opted in).  Override: ``TSGU_DIA_BATCH_CAP``.
+    """
+    import os
+    return int(os.environ.get("TSGU_DIA_BATCH_CAP", "8"))
+
+
 def _dia_plan(A, backend: str):
     """DIA plan for a 2-D static pattern, or None.
 
@@ -425,13 +437,17 @@ def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto",
     A0 = _elem(A, 0)
     if not A.indices_batched():  # shared pattern: vmap over data
         if _dia_plan(A0, backend) is not None:
-            # DIA kernels DMA from ANY-space operands, which the Pallas
-            # vmap batching rule cannot block-spec on TPU — unroll the
-            # (static, small) batch instead
-            outs = [_spmm_cv(backend, gp, A0.with_data(A.data[i]),
-                             B if B.ndim == 2 else B[i])
-                    for i in range(A.shape[0])]
-            return jnp.stack(outs)
+            if A.shape[0] <= _dia_batch_cap() or backend == "dia":
+                # DIA kernels DMA from ANY-space operands, which the
+                # Pallas vmap batching rule cannot block-spec on TPU —
+                # unroll the (static, small) batch instead
+                outs = [_spmm_cv(backend, gp, A0.with_data(A.data[i]),
+                                 B if B.ndim == 2 else B[i])
+                        for i in range(A.shape[0])]
+                return jnp.stack(outs)
+            # above the cap the O(batch) program size would blow compile
+            # time — route to the vmappable chunk/XLA path instead
+            backend = "pallas"
         if B.ndim == 2:
             return jax.vmap(
                 lambda d: _spmm_cv(backend, gp, A0.with_data(d), B)
@@ -513,14 +529,20 @@ def sddmm(A: Union[SparseCOO, SparseCSR], X, Y, *, backend: str = "auto"):
             Y = jnp.broadcast_to(Y, (A.shape[0],) + Y.shape)
         if not A.indices_batched():
             A0 = _elem(A, 0)
-            if _dia_plan(A0, backend) is not None:
+            if (_dia_plan(A0, backend) is not None
+                    and (A.shape[0] <= _dia_batch_cap()
+                         or backend == "dia")):
                 # see sparse_mm: ANY-space DMA kernels cannot be vmapped
                 vals = jnp.stack(
                     [_sddmm_cv(backend, A0, X[i], Y[i]).data
                      for i in range(A.shape[0])])
             else:
+                # beyond the DIA batch cap: vmappable chunk/XLA path
+                be = "pallas" if (backend == "auto"
+                                  and _dia_plan(A0, backend) is not None
+                                  ) else backend
                 vals = jax.vmap(
-                    lambda x, y: _sddmm_cv(backend, A0, x, y).data)(X, Y)
+                    lambda x, y: _sddmm_cv(be, A0, x, y).data)(X, Y)
         else:
             row = jnp.asarray(A.rows())
             col = jnp.asarray(A.cols())
