@@ -193,6 +193,19 @@ def main():
     cov_st = dia_coverage(A_st)
     st_fwd, st_total = measure_pattern(A_st, B, G, "structured")
 
+    # realistic FEM regime: mostly-diagonal with an unstructured residual
+    # (the hybrid DIA+COO plan real matrices hit) at three coverages
+    from torchsparsegradutils_tpu.utils.random_sparse import hybrid_sparse
+    hybrid = {}
+    for cov in (0.70, 0.85, 0.95):
+        A_h = hybrid_sparse(kA, (N_ROWS, N_ROWS), STENCIL_OFFSETS, NNZ,
+                            dia_coverage=cov, layout="csr")
+        h_fwd, h_total = measure_pattern(A_h, B, G, f"hybrid{cov:.2f}")
+        hybrid[f"hybrid{int(cov * 100)}"] = {
+            "fwd_ms": round(h_fwd, 3), "total_ms": round(h_total, 3),
+            "vs_baseline": round(ref_total / h_total, 3),
+            "dia_coverage": round(dia_coverage(A_h)["coverage"], 4)}
+
     A_rd = rand_sparse(kA, (N_ROWS, N_ROWS), NNZ, layout="csr")
     cov_rd = dia_coverage(A_rd)
     rd_fwd, rd_total = measure_pattern(A_rd, B, G, "random")
@@ -213,6 +226,7 @@ def main():
             "random_total_ms": round(rd_total, 3),
             "random_vs_baseline": round(ref_total / rd_total, 3),
             "random_dia_coverage": round(cov_rd["coverage"], 4),
+            "hybrid_regimes": hybrid,
             "random_note": "uniform-random pattern at the same N/nnz — "
                            "the gather-bound worst case (no diagonal "
                            "structure; see benchmarks/probe_random_"

@@ -1,16 +1,16 @@
 #!/bin/bash
-# Round-3 full TPU measurement battery.  One bounded process per step —
+# Full TPU measurement battery (round 4).  One bounded process per step —
 # the tunnelled chip wedges multi-hour processes, and every step must be
 # re-runnable in isolation.  Results land in benchmarks/results/*.csv
-# (suites) and /tmp/r3_probes.jsonl (probes) + /tmp/r3_bench.json.
+# (suites) and /tmp/tpu_probes.jsonl (probes) + /tmp/tpu_bench.json.
 #
-# Usage:  bash benchmarks/run_round3_tpu.sh [phase]
+# Usage:  bash benchmarks/run_tpu_battery.sh [phase]
 #   phase ∈ {probes, suites, bench, all (default)}
 set -u
 cd "$(dirname "$0")/.."
 PH="${1:-all}"
-LOG=/tmp/r3_runner.log
-echo "=== run_round3_tpu $(date -u +%H:%M:%S) phase=$PH ===" | tee -a "$LOG"
+LOG=/tmp/tpu_runner.log
+echo "=== run_tpu_battery $(date -u +%H:%M:%S) phase=$PH ===" | tee -a "$LOG"
 
 run() {  # run <timeout_s> <label> <cmd...>
   local t="$1" lbl="$2"; shift 2
@@ -21,25 +21,25 @@ run() {  # run <timeout_s> <label> <cmd...>
 }
 
 if [ "$PH" = probes ] || [ "$PH" = all ]; then
-  : > /tmp/r3_probes.jsonl
+  : > /tmp/tpu_probes.jsonl
   for p in gather_csr gather_sorted gather_bf16 gather_mat stream_read \
            chunk_kernel_pg chunk_combine spmm_auto spmv_p1; do
     echo "--- probe $p ($(date -u +%H:%M:%S))" | tee -a "$LOG"
     timeout 1200 python -m benchmarks.probe_random_gather --only "$p" \
-      >>/tmp/r3_probes.jsonl 2>>"$LOG"
+      >>/tmp/tpu_probes.jsonl 2>>"$LOG"
   done
   for p in fill unfill spmm_core sddmm_core spmm_t_core spmm_vpu \
-           sddmm_vpu fwd_full \
+           sddmm_vpu fwd_full spmm_core_bf16 sddmm_core_bf16 \
            step_full; do
     echo "--- dia probe $p ($(date -u +%H:%M:%S))" | tee -a "$LOG"
     timeout 1200 python -m benchmarks.probe_dia --only "$p" \
-      >>/tmp/r3_probes.jsonl 2>>"$LOG" || true
+      >>/tmp/tpu_probes.jsonl 2>>"$LOG" || true
   done
 fi
 
 if [ "$PH" = bench ] || [ "$PH" = all ]; then
   run 3000 bench.py python bench.py
-  tail -1 "$LOG" > /tmp/r3_bench.json 2>/dev/null || true
+  tail -1 "$LOG" > /tmp/tpu_bench.json 2>/dev/null || true
 fi
 
 if [ "$PH" = suites ] || [ "$PH" = all ]; then
@@ -56,8 +56,8 @@ fi
 if [ "$PH" = suites ] || [ "$PH" = all ]; then
   run 900 visualize python -m benchmarks.visualize_results
   echo "--- probe summary" | tee -a "$LOG"
-  cat /tmp/r3_probes.jsonl 2>/dev/null | tee -a "$LOG"
+  cat /tmp/tpu_probes.jsonl 2>/dev/null | tee -a "$LOG"
   echo "--- bench" | tee -a "$LOG"
-  cat /tmp/r3_bench.json 2>/dev/null | tee -a "$LOG"
+  cat /tmp/tpu_bench.json 2>/dev/null | tee -a "$LOG"
 fi
 echo "=== done $(date -u +%H:%M:%S) ===" | tee -a "$LOG"

@@ -15,9 +15,10 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from torchsparsegradutils_tpu import sparse_mm
+from torchsparsegradutils_tpu import dia_coverage, sparse_mm
 from torchsparsegradutils_tpu.utils import rand_sparse
-from torchsparsegradutils_tpu.utils.random_sparse import stencil_sparse
+from torchsparsegradutils_tpu.utils.random_sparse import (hybrid_sparse,
+                                                          stencil_sparse)
 
 from .benchmark_utils import measure_chained, write_csv
 
@@ -40,6 +41,7 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
     step_bytes = 4 * (2 * nnz + 5 * n * m)
 
     def run(A, pattern, layout, backends):
+        cov = round(dia_coverage(A)["coverage"], 4)
         for backend in backends:
             if backend == "pallas" and jax.default_backend() not in (
                     "tpu", "axon"):
@@ -54,7 +56,7 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
             rows.append(dict(op="sparse_mm_fwd", pattern=pattern,
                              scale=scale_label, layout=layout,
                              backend=backend, n=n, nnz=A.nnz,
-                             rhs=m, **r))
+                             rhs=m, dia_coverage=cov, **r))
             grad = jax.grad(
                 lambda d, b: (sparse_mm(A.with_data(d), b,
                                         backend=backend) * G).sum(),
@@ -71,11 +73,18 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
             rows.append(dict(op="sparse_mm_fwd_bwd", pattern=pattern,
                              scale=scale_label, layout=layout,
                              backend=backend, n=n, nnz=A.nnz,
-                             rhs=m, **r))
+                             rhs=m, dia_coverage=cov, **r))
             print(rows[-2], rows[-1], sep="\n", flush=True)
 
     A_st = stencil_sparse(kA, (n, n), offs, layout="csr")
     run(A_st, "stencil", "csr", ("dia", "xla"))
+    # realistic FEM regime: mostly-diagonal pattern with an unstructured
+    # residual — exercises the hybrid DIA+COO plan (kernels/dia.py) that
+    # real matrices (cfd2 included) actually hit
+    for cov in (0.70, 0.85, 0.95):
+        A_h = hybrid_sparse(kA, (n, n), offs, nnz, dia_coverage=cov,
+                            layout="csr")
+        run(A_h, f"hybrid{int(cov * 100)}", "csr", ("auto",))
     for layout in ("csr", "coo"):
         A = rand_sparse(kA, (n, n), nnz, layout=layout)
         run(A, "random", layout, ("pallas", "xla", "ell"))
