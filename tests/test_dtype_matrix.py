@@ -168,6 +168,50 @@ class TestLstsqMatrix:
                 dict(rtol=1e-8, atol=1e-9)))
 
 
+@pytest.mark.parametrize("idt", INDEX_DTYPES)
+@pytest.mark.parametrize("vdt", VALUE_DTYPES)
+class TestIndexedMatmulMatrix:
+    def test_segment_mm(self, key, vdt, idt):
+        with maybe_x64(vdt):
+            from torchsparsegradutils_tpu import segment_mm
+            a = jax.random.normal(key, (12, 4), vdt)
+            b = jax.random.normal(jax.random.fold_in(key, 1), (3, 4, 5), vdt)
+            seg = jnp.asarray([5, 3, 4], idt)
+            out = segment_mm(a, b, seg)
+            assert out.dtype == vdt
+            ref = jnp.concatenate([a[:5] @ b[0], a[5:8] @ b[1],
+                                   a[8:] @ b[2]])
+            np.testing.assert_allclose(out, ref, **tol("direct", vdt))
+
+    def test_gather_mm(self, key, vdt, idt):
+        with maybe_x64(vdt):
+            from torchsparsegradutils_tpu import gather_mm
+            a = jax.random.normal(key, (10, 4), vdt)
+            b = jax.random.normal(jax.random.fold_in(key, 1), (3, 4, 6), vdt)
+            idx = jnp.asarray([2, 0, 1, 2, 0, 1, 0, 0, 2, 1], idt)
+            out = gather_mm(a, b, idx)
+            assert out.dtype == vdt
+            ref = jnp.einsum("nk,nkm->nm", a, b[idx])
+            np.testing.assert_allclose(out, ref, **tol("direct", vdt))
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+@pytest.mark.parametrize("idt", INDEX_DTYPES)
+@pytest.mark.parametrize("vdt", VALUE_DTYPES)
+def test_bidir_logsumexp_matrix(key, vdt, idt, layout):
+    with maybe_x64(vdt):
+        from torchsparsegradutils_tpu import sparse_bidir_logsumexp
+        A = _mk(key, (24, 20), 90, layout, vdt, idt)
+        col_lse, row_lse = sparse_bidir_logsumexp(A)
+        d = A.todense()
+        np.testing.assert_allclose(
+            col_lse, jax.scipy.special.logsumexp(d, axis=0),
+            **tol("direct", vdt))
+        np.testing.assert_allclose(
+            row_lse, jax.scipy.special.logsumexp(d, axis=1),
+            **tol("direct", vdt))
+
+
 @pytest.mark.parametrize("vdt", VALUE_DTYPES)
 def test_index_dtype_preserved_through_ops(key, vdt):
     """CSR keeps int32 indices through op round trips (reference README
