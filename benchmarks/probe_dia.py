@@ -18,7 +18,6 @@ One probe per process: ``python -m benchmarks.probe_dia --only NAME``.
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 import sys
 
 import jax
-import jax.numpy as jnp
 
 from torchsparsegradutils_tpu import sparse_mm
 from torchsparsegradutils_tpu.utils import rand_sparse

@@ -18,7 +18,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 

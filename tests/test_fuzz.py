@@ -8,7 +8,6 @@ the planners (chunk ranks, DIA grids, ELL tables).
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -8,7 +8,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from torchsparsegradutils_tpu import SparseCOO
 from torchsparsegradutils_tpu.solvers import LinearCGSettings, linear_cg
 from torchsparsegradutils_tpu.utils import make_spd_sparse, rand_sparse
 

@@ -5,9 +5,7 @@ memory analysis (argument + temp + output bytes) as the device-agnostic
 peak estimate."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from torchsparsegradutils_tpu import sparse_mm
 from torchsparsegradutils_tpu.utils import rand_sparse

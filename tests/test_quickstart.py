@@ -167,7 +167,7 @@ def test_quickstart_interop_backends():
     try:
         import torch  # noqa: F401
 
-        from torchsparsegradutils_tpu.interop import sparse_mm_j4t, t2j
+        from torchsparsegradutils_tpu.interop import sparse_mm_j4t, t2j  # noqa: F401 - importability check
     except ImportError:  # pragma: no cover
         pytest.skip("torch not installed")
 

@@ -345,7 +345,7 @@ class TestSolveDiagnostics:
     def test_bicgstab_diagnostics(self, key):
         A = rand_sparse(key, (30, 30), 120, layout="csr")
         A = A.with_data(A.data * 0.1)
-        from torchsparsegradutils_tpu.utils.structure import sparse_eye
+        from torchsparsegradutils_tpu.utils.structure import sparse_eye  # noqa: F401 - importability check
         Ad = A.todense() + 3.0 * jnp.eye(30)
         b = jax.random.normal(jax.random.fold_in(key, 1), (30,))
         x, info = bicgstab(Ad, b,

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from torchsparsegradutils_tpu import SparseCOO, SparseCSR
+from torchsparsegradutils_tpu import SparseCOO
 from torchsparsegradutils_tpu.utils import (
     coalesce,
     coo_to_csr,

@@ -5,7 +5,6 @@ tests parametrize f32/f64 and i32/i64; here f64 is gated behind x64 mode).
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from torchsparsegradutils_tpu import SparseCOO, sparse_mm, sparse_logsumexp
 from torchsparsegradutils_tpu.utils import rand_sparse
