@@ -33,6 +33,9 @@ class BICGSTABSettings:
     rtol: float = 1e-5
     atol: float = 0.0
     min_iter: int = 1
+    # per-iteration residual printing — the structured counterpart of the
+    # reference's logger hook (bicgstab.py:9-19); fires under jit too.
+    verbose: bool = False
 
 
 def bicgstab(A, rhs, *, settings: BICGSTABSettings = BICGSTABSettings(),
@@ -91,6 +94,10 @@ def bicgstab(A, rhs, *, settings: BICGSTABSettings = BICGSTABSettings(),
         omega_new = jnp.where(frozen, 0.0, omega_new)
         x = x + alpha * p_hat + omega_new * s_hat
         r = jnp.where(frozen, r, s - omega_new * t)
+        if settings.verbose:
+            jax.debug.print(
+                "bicgstab iter {i}: max residual {res:.3e}",
+                i=i + 1, res=jnp.sqrt(jnp.sum(r * r, axis=0)).max())
         return (x, r, p, v, rho_new, alpha,
                 jnp.where(frozen, omega, omega_new), i + 1)
 

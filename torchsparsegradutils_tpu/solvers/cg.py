@@ -43,6 +43,9 @@ class LinearCGSettings:
     # when True, convergence uses the mean residual across columns
     # (reference linear_cg.py:378-384); False = per-column max.
     mean_residual: bool = True
+    # per-iteration residual printing (reference linear_cg.py:275-277);
+    # emitted with jax.debug.print, so it also fires under jit.
+    verbose: bool = False
 
 
 def linear_cg(A, rhs, *, settings: LinearCGSettings = LinearCGSettings(),
@@ -125,6 +128,10 @@ def linear_cg(A, rhs, *, settings: LinearCGSettings = LinearCGSettings(),
         rz_new = jnp.sum(r * z, axis=0)
         beta = jnp.where(frozen, 0.0, safe_div(rz_new, rz))
         p = z + beta * p
+        if settings.verbose:
+            jax.debug.print(
+                "linear_cg iter {i}: mean residual {res:.3e}",
+                i=i + 1, res=col_norms(r).mean())
         if n_tridiag:
             # T[i,i] = 1/alpha_i + beta_{i-1}/alpha_{i-1};
             # T[i,i+1] = sqrt(beta_i)/alpha_i  (Lanczos-from-CG recurrence)

@@ -38,6 +38,9 @@ class MINRESSettings:
     rtol: float = 1e-5
     atol: float = 0.0
     min_iter: int = 1
+    # per-iteration residual printing (reference minres.py:233-238);
+    # emitted with jax.debug.print, so it also fires under jit.
+    verbose: bool = False
 
 
 def minres(A, rhs, *, shifts=None,
@@ -133,6 +136,10 @@ def minres(A, rhs, *, shifts=None,
         w_new = (v[None] - oldeps[:, None, :] * w_pprev
                  - delta[:, None, :] * w_prev) / gamma[:, None, :]
         x = jnp.where(frozen[:, None, :], x, x + phi[:, None, :] * w_new)
+        if settings.verbose:
+            jax.debug.print(
+                "minres iter {i}: max |phibar| {res:.3e}",
+                i=i + 1, res=jnp.abs(phibar_new).max())
         return (x, v, v_new, beta_new, phibar_new, cs_new, sn_new,
                 dbar_new, epsln_new, w_new, w_prev, i + 1)
 
