@@ -40,36 +40,44 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
     fwd_bytes = 4 * (nnz + 2 * n * m)
     step_bytes = 4 * (2 * nnz + 5 * n * m)
 
-    def run(A, pattern, layout, backends):
+    def run(A, pattern, layout, backends, dtype=jnp.float32):
         cov = round(dia_coverage(A)["coverage"], 4)
+        # bf16 rows: the documented storage fast path — half the gather /
+        # stream bytes, f32 accumulation in every kernel
+        A = A.with_data(A.data.astype(dtype))
+        Bd, Gd, epsd = B.astype(dtype), G.astype(dtype), eps.astype(dtype)
+        isz = jnp.dtype(dtype).itemsize
+        fwd_b = isz * (nnz + 2 * n * m)
+        step_b = isz * (2 * nnz + 5 * n * m)
         for backend in backends:
             if backend == "pallas" and jax.default_backend() not in (
                     "tpu", "axon"):
                 continue
 
             def fwd_step(b):
-                return b + eps * sparse_mm(A, b, backend=backend)
+                return b + epsd * sparse_mm(A, b, backend=backend)
 
-            r = measure_chained(fwd_step, B, rep=6, n_meas=4,
-                                mem_fn=fwd_step, mem_args=(B,),
-                                roofline_bytes=fwd_bytes)
+            r = measure_chained(fwd_step, Bd, rep=6, n_meas=4,
+                                mem_fn=fwd_step, mem_args=(Bd,),
+                                roofline_bytes=fwd_b)
             rows.append(dict(op="sparse_mm_fwd", pattern=pattern,
                              scale=scale_label, layout=layout,
                              backend=backend, n=n, nnz=A.nnz,
                              rhs=m, dia_coverage=cov, **r))
             grad = jax.grad(
                 lambda d, b: (sparse_mm(A.with_data(d), b,
-                                        backend=backend) * G).sum(),
+                                        backend=backend) * Gd
+                              ).astype(jnp.float32).sum(),
                 argnums=(0, 1))
 
             def step(db):
                 d, b = db
                 gd, gb = grad(d, b)
-                return (d + eps * gd, b + eps * gb)
+                return (d + epsd * gd, b + epsd * gb)
 
-            r = measure_chained(step, (A.data, B), rep=6, n_meas=4,
-                                mem_fn=step, mem_args=((A.data, B),),
-                                roofline_bytes=step_bytes)
+            r = measure_chained(step, (A.data, Bd), rep=6, n_meas=4,
+                                mem_fn=step, mem_args=((A.data, Bd),),
+                                roofline_bytes=step_b)
             rows.append(dict(op="sparse_mm_fwd_bwd", pattern=pattern,
                              scale=scale_label, layout=layout,
                              backend=backend, n=n, nnz=A.nnz,
@@ -78,6 +86,9 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
 
     A_st = stencil_sparse(kA, (n, n), offs, layout="csr")
     run(A_st, "stencil", "csr", ("dia", "xla"))
+    # bf16 storage fast path: single MXU pass on the DIA core (vs 6 for
+    # exact f32), half the HBM bytes everywhere; f32 accumulation
+    run(A_st, "stencil_bf16", "csr", ("dia",), dtype=jnp.bfloat16)
     # realistic FEM regime: mostly-diagonal pattern with an unstructured
     # residual — exercises the hybrid DIA+COO plan (kernels/dia.py) that
     # real matrices (cfd2 included) actually hit
@@ -88,6 +99,10 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
     for layout in ("csr", "coo"):
         A = rand_sparse(kA, (n, n), nnz, layout=layout)
         run(A, "random", layout, ("pallas", "xla", "ell"))
+    # gather-bound worst case at half the row bytes (probe gather_bf16
+    # measured the gather floor 2.4x lower at bf16)
+    A = rand_sparse(kA, (n, n), nnz, layout="csr")
+    run(A, "random_bf16", "csr", ("pallas",), dtype=jnp.bfloat16)
 
 
 def main(small: bool = False, big: bool = True):

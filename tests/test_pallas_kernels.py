@@ -322,3 +322,78 @@ class TestShuffle:
         np.testing.assert_allclose(np.asarray(out), np.asarray(v)[perm])
         with pytest.raises(ValueError, match="expected shape"):
             shuffle_values(plan, v[:-1])
+
+
+class TestBF16StorageFastPath:
+    """All-bf16 containers through the chunk kernels: the storage fast
+    path (half the gather/stream HBM bytes; measured 2.4x lower gather
+    floor — benchmarks/probe_random_gather.py gather_bf16).  Value tiles
+    and row partials run f32 inside the kernels (bf16 (SB, C) blocks
+    violate Mosaic's 16-sublane tile), so accumulation is exact and the
+    only error is the bf16 *storage* rounding of the operands."""
+
+    def _mk(self, key):
+        A = rand_sparse(key, (300, 300), 3000, layout="csr")
+        Ab = A.with_data(A.data.astype(jnp.bfloat16))
+        B = jax.random.normal(jax.random.fold_in(key, 1), (300, 64),
+                              jnp.bfloat16)
+        return A, Ab, B
+
+    def test_bf16_fwd(self, key):
+        A, Ab, B = self._mk(key)
+        out = sparse_mm(Ab, B, backend="pallas")
+        assert out.dtype == jnp.bfloat16
+        ref = A.todense() @ B.astype(jnp.float32)
+        err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+        assert float(err) / float(jnp.max(jnp.abs(ref))) < 2e-2
+
+    def test_bf16_fused_backward(self, key):
+        A, Ab, B = self._mk(key)
+        G = jax.random.normal(jax.random.fold_in(key, 2), (300, 64),
+                              jnp.bfloat16)
+
+        def loss(d, b):
+            y = sparse_mm(Ab.with_data(d), b, backend="pallas")
+            return (y.astype(jnp.float32) * G.astype(jnp.float32)).sum()
+
+        gd, gb = jax.grad(loss, argnums=(0, 1))(Ab.data, B)
+        assert gd.dtype == jnp.bfloat16 and gb.dtype == jnp.bfloat16
+        gd_ref, gb_ref = jax.grad(
+            lambda d, b: ((A.with_data(d).todense() @ b)
+                          * G.astype(jnp.float32)).sum(),
+            argnums=(0, 1))(A.data, B.astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(gd, np.float32),
+                                   np.asarray(gd_ref), rtol=0, atol=0.3)
+        np.testing.assert_allclose(np.asarray(gb, np.float32),
+                                   np.asarray(gb_ref), rtol=0, atol=0.3)
+
+    def test_bf16_sddmm(self, key):
+        A, Ab, _ = self._mk(key)
+        X = jax.random.normal(key, (300, 32), jnp.bfloat16)
+        Y = jax.random.normal(jax.random.fold_in(key, 3), (300, 32),
+                              jnp.bfloat16)
+        sv = sddmm(Ab, X, Y, backend="pallas")
+        assert sv.data.dtype == jnp.bfloat16
+        r = np.asarray(A.tocoo().rows_np())
+        c = np.asarray(A.tocoo().cols_np())
+        ref = np.asarray(X.astype(jnp.float32)
+                         @ Y.astype(jnp.float32).T)[r, c]
+        err = np.max(np.abs(np.asarray(sv.data, np.float32) - ref))
+        assert err / np.max(np.abs(ref)) < 2e-2
+
+    def test_bf16_spmv(self, key):
+        A, Ab, _ = self._mk(key)
+        x = jax.random.normal(jax.random.fold_in(key, 4), (300,),
+                              jnp.bfloat16)
+        out = sparse_mm(Ab, x[:, None], backend="pallas")[:, 0]
+        ref = A.todense() @ x.astype(jnp.float32)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        assert err / float(jnp.max(jnp.abs(ref))) < 2e-2
+
+    def test_f32_unchanged(self, key):
+        A, _, B = self._mk(key)
+        out = sparse_mm(A, B.astype(jnp.float32), backend="pallas")
+        assert out.dtype == jnp.float32
+        ref = A.todense() @ B.astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -193,11 +193,19 @@ def chunk_gather(plan: ChunkPlan, B):
 
 def chunk_spmm(plan: ChunkPlan, data, B, pg=None):
     """A @ B where A's entries follow the plan's order; B is (m, p).
-    ``pg`` may supply a precomputed :func:`chunk_gather` result."""
+    ``pg`` may supply a precomputed :func:`chunk_gather` result.
+
+    bf16 inputs: the B-row gather (the dominant HBM traffic) runs at
+    bf16 — the storage fast path, ~2.4x lower gather floor (probe
+    gather_bf16) — while the per-entry value tiles and row partials stay
+    f32: a bf16 ``(SB, C)`` / ``(SB, W, ·)`` block violates Mosaic's
+    16-sublane tiling, and f32 partials keep the cross-chunk
+    accumulation exact."""
     SB, C, W = plan.SB, plan.C, plan.W
     if plan.perm is not None:
         data = jnp.take(data, as_device_array(plan.perm))
-    vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
+    vals = _pad_entries(data, plan).reshape(plan.nchunks, C).astype(
+        jnp.float32)
     Bp, p = _pad_cols(B)
     Pg = chunk_gather(plan, B) if pg is None else pg
     p_pad = Bp.shape[1]
@@ -210,16 +218,18 @@ def chunk_spmm(plan: ChunkPlan, data, B, pg=None):
             M = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (W, C), 0) == l[None, :],
                 v[None, :], 0.0)
-            out_ref[i] = jnp.dot(M, pg_ref[i * C:(i + 1) * C, :],
+            pg = pg_ref[i * C:(i + 1) * C, :].astype(jnp.float32)
+            out_ref[i] = jnp.dot(M, pg,
                                  preferred_element_type=jnp.float32,
-                                 precision=HI).astype(out_ref.dtype)
+                                 precision=HI)
 
     partial_out = pl.pallas_call(
         kernel, grid=grid, in_specs=[lr_s, v_s, pg_s], out_specs=part_s,
-        out_shape=jax.ShapeDtypeStruct((plan.nchunks, W, p_pad), B.dtype),
+        out_shape=jax.ShapeDtypeStruct((plan.nchunks, W, p_pad),
+                                       jnp.float32),
         interpret=interpret_mode(),
     )(as_device_array(plan.lr), vals, Pg)
-    return _combine(plan, partial_out, p)
+    return _combine(plan, partial_out, p).astype(B.dtype)
 
 
 def chunk_spmv(plan: ChunkPlan, data, x):
@@ -235,9 +245,12 @@ def chunk_spmv(plan: ChunkPlan, data, x):
     SB, C, W = plan.SB, plan.C, plan.W
     if plan.perm is not None:
         data = jnp.take(data, as_device_array(plan.perm))
-    vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
+    # f32 tiles: bf16 (SB, C) blocks violate the 16-sublane tile; the
+    # bf16 win (the scalar gather itself) already happened in the take
+    vals = _pad_entries(data, plan).reshape(plan.nchunks, C).astype(
+        jnp.float32)
     xg = jnp.take(x, as_device_array(plan.gather_idx)).reshape(
-        plan.nchunks, C)
+        plan.nchunks, C).astype(jnp.float32)
     grid = (plan.nchunks // SB,)
     spec_c = pl.BlockSpec((SB, C), lambda s: (s, 0),
                           memory_space=pltpu.VMEM)
@@ -280,9 +293,12 @@ def chunk_sddmm(plan: ChunkPlan, X, Y):
     Xp, _ = _pad_cols(X)
     p_pad = Yp.shape[1]
     Pg = jnp.take(Yp, as_device_array(plan.gather_idx), axis=0)
+    # the W-window stream and per-entry output stay f32 (bf16 (SB, C) /
+    # (SB, W, ·) blocks violate the 16-sublane tile; they are ~1/16 of
+    # the Pg traffic anyway) — only the entry gather Pg keeps X/Y's dtype
     Xw = jnp.take(Xp, as_device_array(
         np.minimum(plan.seg_rows, plan.n - 1)).reshape(-1), axis=0
-    ).reshape(plan.nchunks, W, p_pad)
+    ).reshape(plan.nchunks, W, p_pad).astype(jnp.float32)
     grid, lr_s, _, pg_s, gw_s, _ = _grid_specs(plan, p_pad)
     dd_spec = pl.BlockSpec((SB, C), lambda s, j: (s, 0),
                            memory_space=pltpu.VMEM)
@@ -292,26 +308,27 @@ def chunk_sddmm(plan: ChunkPlan, X, Y):
         for i in range(SB):
             l = lr_ref[i]
             Mt = (l[:, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (C, W), 1)).astype(pg_ref.dtype)
+                jnp.int32, (C, W), 1)).astype(jnp.float32)
             Xe = jnp.dot(Mt, xw_ref[i], preferred_element_type=jnp.float32,
                          precision=HI)
-            contrib = (Xe * pg_ref[i * C:(i + 1) * C, :]).sum(-1)
+            pg = pg_ref[i * C:(i + 1) * C, :].astype(jnp.float32)
+            contrib = (Xe * pg).sum(-1)
 
             @pl.when(j == 0)
             def _():
-                dd_ref[i] = contrib.astype(dd_ref.dtype)
+                dd_ref[i] = contrib
 
             @pl.when(j != 0)
             def _():
-                dd_ref[i] = dd_ref[i] + contrib.astype(dd_ref.dtype)
+                dd_ref[i] = dd_ref[i] + contrib
 
     dd = pl.pallas_call(
         kernel, grid=grid, in_specs=[lr_s, pg_s, gw_s], out_specs=dd_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.nchunks, C), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((plan.nchunks, C), jnp.float32),
         interpret=interpret_mode(),
     )(as_device_array(plan.lr), Pg, Xw)
     dd = dd.reshape(-1)[:plan.nnz]
-    return dd
+    return dd.astype(X.dtype)
 
 
 _PERM_PAD = {}
@@ -347,11 +364,14 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
     Bp, p = _pad_cols(B)
     Gp, _ = _pad_cols(G)
     p_pad = Bp.shape[1]
-    vals = _pad_entries(data, plan).reshape(plan.nchunks, C)
+    # f32 value tiles / W-window stream (bf16 blocks there violate the
+    # 16-sublane tile); Pg and V — the dominant streams — keep B's dtype
+    vals = _pad_entries(data, plan).reshape(plan.nchunks, C).astype(
+        jnp.float32)
     Pg = chunk_gather(plan, B) if pg is None else pg
     Gw = jnp.take(Gp, as_device_array(
         np.minimum(plan.seg_rows, plan.n - 1)).reshape(-1), axis=0
-    ).reshape(plan.nchunks, W, p_pad)
+    ).reshape(plan.nchunks, W, p_pad).astype(jnp.float32)
     grid, lr_s, v_s, pg_s, gw_s, _ = _grid_specs(plan, p_pad)
     dd_spec = pl.BlockSpec((SB, C), lambda s, j: (s, 0),
                            memory_space=pltpu.VMEM)
@@ -364,18 +384,19 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
             l = lr_ref[i]
             v = vals_ref[i]
             Mt = (l[:, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (C, W), 1)).astype(pg_ref.dtype)
+                jnp.int32, (C, W), 1)).astype(jnp.float32)
             Ge = jnp.dot(Mt, gw_ref[i], preferred_element_type=jnp.float32,
                          precision=HI)
-            contrib = (Ge * pg_ref[i * C:(i + 1) * C, :]).sum(-1)
+            pgf = pg_ref[i * C:(i + 1) * C, :].astype(jnp.float32)
+            contrib = (Ge * pgf).sum(-1)
 
             @pl.when(j == 0)
             def _():
-                dd_ref[i] = contrib.astype(dd_ref.dtype)
+                dd_ref[i] = contrib
 
             @pl.when(j != 0)
             def _():
-                dd_ref[i] = dd_ref[i] + contrib.astype(dd_ref.dtype)
+                dd_ref[i] = dd_ref[i] + contrib
 
             v_ref[i * C:(i + 1) * C, :] = (Ge * v[:, None]).astype(
                 v_ref.dtype)
@@ -384,18 +405,18 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
     dd, V = pl.pallas_call(
         kernel, grid=grid, in_specs=[lr_s, v_s, pg_s, gw_s],
         out_specs=(dd_spec, v_spec),
-        out_shape=(jax.ShapeDtypeStruct((plan.nchunks, C), data.dtype),
+        out_shape=(jax.ShapeDtypeStruct((plan.nchunks, C), jnp.float32),
                    jax.ShapeDtypeStruct((plan.nnz_pad, p_pad), v_dtype)),
         interpret=interpret_mode(),
     )(as_device_array(plan.lr), vals, Pg, Gw)
-    d_data = dd.reshape(-1)[:plan.nnz]
+    d_data = dd.reshape(-1)[:plan.nnz].astype(data.dtype)
 
     # second pass: d_B[c] = Σ_{e in col c} V[e]  — row-sum of V in the
     # column-sorted order (plan_t), with unit weights.
     perm_pad = _perm_pad_cache(plan_t)
     Vg = jnp.take(V, perm_pad, axis=0)
     # ones stay f32: a bf16 (SB, C) block violates the 16-sublane tile
-    ones = jnp.zeros((plan_t.nnz_pad,), B.dtype).at[:plan_t.nnz].set(1.0)
+    ones = jnp.zeros((plan_t.nnz_pad,), jnp.float32).at[:plan_t.nnz].set(1.0)
     SBt, Ct, Wt = plan_t.SB, plan_t.C, plan_t.W
     grid_t, lr_t, v_t, pg_t, _, part_t = _grid_specs(plan_t, p_pad)
 
@@ -409,13 +430,13 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
             vg = vg_ref[i * Ct:(i + 1) * Ct, :].astype(jnp.float32)
             out_ref[i] = jnp.dot(M, vg,
                                  preferred_element_type=jnp.float32,
-                                 precision=HI).astype(out_ref.dtype)
+                                 precision=HI)
 
     partial_t = pl.pallas_call(
         kernel2, grid=grid_t, in_specs=[lr_t, v_t, pg_t], out_specs=part_t,
         out_shape=jax.ShapeDtypeStruct((plan_t.nchunks, Wt, p_pad),
-                                       B.dtype),
+                                       jnp.float32),
         interpret=interpret_mode(),
     )(as_device_array(plan_t.lr), ones.reshape(plan_t.nchunks, Ct), Vg)
-    d_B = _combine(plan_t, partial_t, p)
+    d_B = _combine(plan_t, partial_t, p).astype(B.dtype)
     return d_data, d_B
