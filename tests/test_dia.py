@@ -215,7 +215,7 @@ class TestDiaOps:
         # DIA kernel O(batch) times — it routes to the vmappable chunk/XLA
         # path (one traced copy) and still matches dense (verdict r3 w5)
         A2 = _mk([-1, 0, 1], shape=(60, 60))
-        bsz = 16  # > default cap of 8
+        bsz = 64  # > default cap of 8 (VERDICT r3 item 7: B=64 must compile in bounded time)
         data = jnp.stack([A2.data * (i + 1.0) for i in range(bsz)])
         from torchsparsegradutils_tpu.types import SparseCSR
         Ab = SparseCSR(A2.indptr_np(), A2.cols_np(), data, (bsz, 60, 60))
