@@ -41,9 +41,14 @@ def _pad_entries_neginf(x, plan: ChunkPlan):
 
 
 def _lse_partials(plan: ChunkPlan, data):
-    """One kernel pass -> (pm, ps) of shape (nchunks, W)."""
+    """One kernel pass -> (pm, ps) of shape (nchunks, W).
+
+    Tiles run f32 regardless of storage dtype: bf16 (SB, C)/(SB, W)
+    blocks violate Mosaic's 16-sublane tile, and the online-LSE partials
+    benefit from f32 anyway (see chunk_spmm's identical policy)."""
     SB, C, W = plan.SB, plan.C, plan.W
-    vals = _pad_entries_neginf(data, plan).reshape(plan.nchunks, C)
+    vals = _pad_entries_neginf(data, plan).reshape(
+        plan.nchunks, C).astype(jnp.float32)
 
     def kernel(lr_ref, vals_ref, pm_ref, ps_ref):
         for i in range(SB):
@@ -65,8 +70,8 @@ def _lse_partials(plan: ChunkPlan, data):
     return pl.pallas_call(
         kernel, grid=(plan.nchunks // SB,), in_specs=[spec_in, spec_in],
         out_specs=(spec_out, spec_out),
-        out_shape=(jax.ShapeDtypeStruct((plan.nchunks, W), data.dtype),
-                   jax.ShapeDtypeStruct((plan.nchunks, W), data.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((plan.nchunks, W), jnp.float32),
+                   jax.ShapeDtypeStruct((plan.nchunks, W), jnp.float32)),
         interpret=interpret_mode(),
     )(as_device_array(plan.lr), vals)
 
@@ -104,7 +109,10 @@ def _lse_combine(plan: ChunkPlan, pm, ps, counts: np.ndarray, width: int,
 def _lse_bwd_pass(plan: ChunkPlan, data, out, g):
     """d_data[e] = exp(v_e - out[row_e]) * g[row_e], natural order."""
     SB, C, W = plan.SB, plan.C, plan.W
-    vals = _pad_entries_neginf(data, plan).reshape(plan.nchunks, C)
+    vals = _pad_entries_neginf(data, plan).reshape(
+        plan.nchunks, C).astype(jnp.float32)
+    out = out.astype(jnp.float32)
+    g = g.astype(jnp.float32)
     pad1 = jnp.concatenate([out, jnp.zeros(1, out.dtype)])
     padg = jnp.concatenate([g, jnp.zeros(1, g.dtype)])
     seg = as_device_array(np.minimum(plan.seg_rows, plan.n)).reshape(-1)
@@ -131,10 +139,10 @@ def _lse_bwd_pass(plan: ChunkPlan, data, out, g):
     dv = pl.pallas_call(
         kernel, grid=(plan.nchunks // SB,),
         in_specs=[spec_c, spec_c, spec_w, spec_w], out_specs=spec_c,
-        out_shape=jax.ShapeDtypeStruct((plan.nchunks, C), data.dtype),
+        out_shape=jax.ShapeDtypeStruct((plan.nchunks, C), jnp.float32),
         interpret=interpret_mode(),
     )(as_device_array(plan.lr), vals, OutR, GR)
-    return dv.reshape(-1)[:plan.nnz]
+    return dv.reshape(-1)[:plan.nnz].astype(data.dtype)
 
 
 @lru_cache(maxsize=256)
@@ -190,11 +198,14 @@ def lse_fn(rows_sa: StaticArray, cols_sa: StaticArray, n: int, m: int,
     @jax.custom_vjp
     def f(data):
         pm, ps = _lse_partials(plan, data)
-        return _lse_combine(plan, pm, ps, counts, m, include_zeros)
+        out = _lse_combine(plan, pm, ps, counts, m, include_zeros)
+        return out.astype(data.dtype)
 
     def fwd(data):
-        out = f(data)
-        return out, (data, out)
+        pm, ps = _lse_partials(plan, data)
+        # keep the f32 combine result for the backward's exp(v - out)
+        out = _lse_combine(plan, pm, ps, counts, m, include_zeros)
+        return out.astype(data.dtype), (data, out)
 
     def bwd(res, g):
         data, out = res

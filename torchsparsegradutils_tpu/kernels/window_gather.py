@@ -351,6 +351,14 @@ def window_gather(plan, src: jax.Array) -> jax.Array:
 
 def _window_gather_impl(plan: WindowPlan, src: jax.Array) -> jax.Array:
     assert src.ndim == 1 and src.shape[0] == plan.src_size
+    # Mosaic's lane gather (take_along_axis) and dynamic sublane slices
+    # only handle 32-bit element types: widen 16-bit values for the
+    # kernel and narrow after.  Stencil fills rarely reach here at size —
+    # the BigShiftPlan memcpy run (~96 % of a full-grid map) stays at the
+    # storage dtype; only short boundary strips pay the widening.
+    orig_dtype = src.dtype
+    if src.dtype.itemsize < 4:
+        src = src.astype(jnp.float32)
     tail = plan.src_pad - plan.src_size - PADF * 128
     src = jnp.concatenate([jnp.zeros((PADF * 128,), src.dtype), src,
                            jnp.zeros((max(tail, 0),), src.dtype)])
@@ -397,7 +405,7 @@ def _window_gather_impl(plan: WindowPlan, src: jax.Array) -> jax.Array:
                                        src.dtype),
         interpret=_interpret(),
     )(*prefetch, loc2d, src2d)
-    return out.reshape(-1)[:plan.dst_size]
+    return out.reshape(-1)[:plan.dst_size].astype(orig_dtype)
 
 
 def window_gather_xla(src_of_dst: np.ndarray, src: jax.Array,
