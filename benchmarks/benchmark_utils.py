@@ -139,7 +139,9 @@ def chain_diff(step: Callable, x0, rep: int = 20, n_meas: int = 4):
 def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
                     mem_fn: Optional[Callable] = None,
                     mem_args=None,
-                    roofline_bytes: Optional[float] = None
+                    roofline_bytes: Optional[float] = None,
+                    prepare: Optional[Callable] = None,
+                    prep_args=()
                     ) -> Dict[str, float]:
     """Per-step time of ``rep`` *dependent* steps chained in one jit.
 
@@ -156,14 +158,23 @@ def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
     which at rep=8 would masquerade as ~4 ms/step of kernel time (a
     trivial ``d + eps*d[0]`` step "measures" 3.7 ms at rep=8 and 0.47 ms
     at rep=80; the differenced estimate is ~0.1 ms at both).
+
+    ``prepare(*prep_args) -> step`` (optional) builds the step INSIDE
+    the jit before the loop, so operator values enter as traced
+    arguments instead of closure constants — XLA constant-folding of
+    plan-derived tensors from a concrete operator can exceed the 2 GiB
+    TPU executable-proto limit (hybrid patterns at cfd2 scale).  The
+    per-chain setup still sits outside the fori_loop and cancels in the
+    differencing.
     """
     try:
         def chain(r):
             @jax.jit
-            def many(x):
+            def many(x, *pa):
+                s = step if prepare is None else prepare(*pa)
                 # fori_loop, not an unrolled chain: one traced copy of
                 # the step, so compile time does not scale with rep
-                return jax.lax.fori_loop(0, r, lambda i, y: step(y), x)
+                return jax.lax.fori_loop(0, r, lambda i, y: s(y), x)
             return many
 
         many1 = chain(rep)
@@ -171,13 +182,13 @@ def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
 
         def timed(many):
             t0 = time.perf_counter()
-            out = many(x0)
+            out = many(x0, *prep_args)
             leaf = jax.tree_util.tree_leaves(out)[0]
             np.asarray(leaf.ravel()[0])
             return (time.perf_counter() - t0) * 1e6
 
         for many in (many1, many2):    # warm the compile caches
-            out = many(x0)
+            out = many(x0, *prep_args)
             jax.block_until_ready(out)
             leaf = jax.tree_util.tree_leaves(out)[0]
             np.asarray(leaf.ravel()[0])

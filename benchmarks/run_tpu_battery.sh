@@ -25,21 +25,23 @@ if [ "$PH" = probes ] || [ "$PH" = all ]; then
   for p in gather_csr gather_sorted gather_bf16 gather_mat stream_read \
            chunk_kernel_pg chunk_combine spmm_auto spmv_p1; do
     echo "--- probe $p ($(date -u +%H:%M:%S))" | tee -a "$LOG"
-    timeout 1200 python -m benchmarks.probe_random_gather --only "$p" \
+    timeout 1800 python -m benchmarks.probe_random_gather --only "$p" \
       >>/tmp/tpu_probes.jsonl 2>>"$LOG"
   done
   for p in fill unfill spmm_core sddmm_core spmm_t_core spmm_vpu \
            sddmm_vpu fwd_full spmm_core_bf16 sddmm_core_bf16 \
            step_full; do
     echo "--- dia probe $p ($(date -u +%H:%M:%S))" | tee -a "$LOG"
-    timeout 1200 python -m benchmarks.probe_dia --only "$p" \
+    timeout 1800 python -m benchmarks.probe_dia --only "$p" \
       >>/tmp/tpu_probes.jsonl 2>>"$LOG" || true
   done
 fi
 
 if [ "$PH" = bench ] || [ "$PH" = all ]; then
   run 3000 bench.py python bench.py
-  tail -1 "$LOG" > /tmp/tpu_bench.json 2>/dev/null || true
+  # the JSON record is the last '"metric"' line of the log (NOT tail -1,
+  # which grabs the rc line the runner itself appends)
+  grep '"metric"' "$LOG" | tail -1 > /tmp/tpu_bench.json 2>/dev/null || true
 fi
 
 if [ "$PH" = suites ] || [ "$PH" = all ]; then

@@ -54,12 +54,22 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
                     "tpu", "axon"):
                 continue
 
-            def fwd_step(b):
-                return b + epsd * sparse_mm(A, b, backend=backend)
+            # values enter as a traced argument (prepare), NOT a closure
+            # constant: XLA folding of plan-derived tensors from a
+            # concrete operator exceeds the 2 GiB TPU executable limit
+            # at hybrid-cfd2 scale
+            def make_fwd(d):
+                Ad = A.with_data(d)
+                return lambda b: b + epsd * sparse_mm(Ad, b,
+                                                      backend=backend)
 
-            r = measure_chained(fwd_step, Bd, rep=6, n_meas=4,
-                                mem_fn=fwd_step, mem_args=(Bd,),
-                                roofline_bytes=fwd_b)
+            def fwd_mem(db):
+                return make_fwd(db[0])(db[1])
+
+            r = measure_chained(None, Bd, rep=6, n_meas=4,
+                                mem_fn=fwd_mem, mem_args=((A.data, Bd),),
+                                roofline_bytes=fwd_b,
+                                prepare=make_fwd, prep_args=(A.data,))
             rows.append(dict(op="sparse_mm_fwd", pattern=pattern,
                              scale=scale_label, layout=layout,
                              backend=backend, n=n, nnz=A.nnz,

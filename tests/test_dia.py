@@ -102,6 +102,30 @@ class TestDiaDetection:
         assert not sr["qualifies"] and sr["coverage"] < 0.7
         assert sr["nnz"] == 2000
 
+    def test_stray_residual_diagonals_not_kept(self):
+        # A hybrid pattern's random remainder lands a few entries on many
+        # distinct offsets; the per-diagonal marginal budget must leave
+        # them to the residual instead of growing K (and the offset span)
+        # for ~0.1% extra coverage — pre-fix this tripled K at cfd2 scale
+        # and pushed the span past every Pallas core's halo budget.
+        from torchsparsegradutils_tpu import dia_coverage
+        from torchsparsegradutils_tpu.utils.random_sparse import (
+            hybrid_sparse)
+        n = 4096
+        offs = [0, 1, -1, 9, -9, 64, -64]
+        A = hybrid_sparse(KEY, (n, n), offs, 24_000, dia_coverage=0.75,
+                          layout="csr")
+        st = dia_coverage(A)
+        assert st["qualifies"]
+        assert st["kept_diagonals"] == len(offs)
+        plan = build_dia_plan(A.row_sa(), A.col_sa(), n, n)
+        assert plan is not None and plan.K == len(offs)
+        assert plan.span <= 128  # stray far offsets stayed residual
+        # and the hybrid still computes correctly
+        B = jax.random.normal(KEY, (n, 8), jnp.float32)
+        out = sparse_mm(A, B, backend="dia")
+        assert jnp.allclose(out, A.todense() @ B, atol=1e-4)
+
     def test_low_fill_rejected(self):
         # two far-apart full diagonals plus scattered singletons on many
         # offsets -> K*n >> nnz

@@ -107,6 +107,37 @@ class DiaPlan:
         return self.resid_sel is not None
 
 
+def _select_diagonals(offs: np.ndarray, n: int):
+    """Shared diagonal-selection rule of :func:`dia_coverage` and
+    :func:`build_dia_plan`.
+
+    Keeps the densest diagonals subject to two budgets:
+
+    * per-diagonal marginal: a kept diagonal costs ``n`` grid cells, so
+      it must carry ``>= n / DIA_MAX_EXPAND`` entries on its own —
+      near-empty stray diagonals (a handful of residual entries that
+      happen to share an offset) belong to the gather residual, not the
+      grid.  Without this cut a hybrid pattern's random remainder can
+      triple K with ~0.03 % extra coverage, and its far-flung offsets
+      push the span past every Pallas core's halo budget.
+    * aggregate: ``K * n <= DIA_MAX_EXPAND * covered`` (grid expansion).
+
+    Returns ``(keep_n, kept_order_idx, covered, uniq_offsets)``.
+    """
+    uniq, counts = np.unique(offs, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    keep_n = min(len(uniq), MAX_DIAGS)
+    kept = order[:keep_n]
+    # marginal budget (counts descending -> prefix property)
+    keep_n = min(keep_n, int(
+        (counts[kept] * DIA_MAX_EXPAND >= n).sum()))
+    cum = np.cumsum(counts[kept])
+    while keep_n > 0 and keep_n * n > DIA_MAX_EXPAND * cum[keep_n - 1]:
+        keep_n -= 1
+    covered = int(cum[keep_n - 1]) if keep_n else 0
+    return keep_n, kept, covered, uniq
+
+
 def dia_coverage(A) -> dict:
     """Diagnostic: how diagonal-structured a pattern is.
 
@@ -137,14 +168,7 @@ def dia_coverage(A) -> dict:
     cols = cs.arr.astype(np.int64)
     nnz = len(rows)
     offs = cols - rows
-    uniq, counts = np.unique(offs, return_counts=True)
-    order = np.argsort(-counts, kind="stable")
-    keep_n = min(len(uniq), MAX_DIAGS)
-    kept = order[:keep_n]
-    cum = np.cumsum(counts[kept])
-    while keep_n > 0 and keep_n * n > DIA_MAX_EXPAND * cum[keep_n - 1]:
-        keep_n -= 1
-    covered = int(cum[keep_n - 1]) if keep_n else 0
+    keep_n, kept, covered, uniq = _select_diagonals(offs, n)
     plan = build_dia_plan(rs, cs, n, m)
     return {
         "nnz": nnz,
@@ -180,18 +204,11 @@ def build_dia_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
         if ((d == 0) & (np.diff(cols) <= 0)).any():
             return None
     offs = cols - rows
-    uniq, counts = np.unique(offs, return_counts=True)
-    # keep the densest diagonals within the K and expansion budgets
-    order = np.argsort(-counts, kind="stable")
-    keep_n = min(len(uniq), MAX_DIAGS)
-    kept = order[:keep_n]
-    cum = np.cumsum(counts[kept])
-    # expansion budget: K*n <= DIA_MAX_EXPAND * covered
-    while keep_n > 0 and keep_n * n > DIA_MAX_EXPAND * cum[keep_n - 1]:
-        keep_n -= 1
+    # keep the densest diagonals within the per-diagonal and aggregate
+    # expansion budgets (see _select_diagonals)
+    keep_n, kept, covered, uniq = _select_diagonals(offs, n)
     if keep_n == 0:
         return None
-    covered = int(cum[keep_n - 1])
     if covered < HYBRID_MIN_COVER * nnz:
         return None
     sel_offsets = np.sort(uniq[kept[:keep_n]])
@@ -258,7 +275,7 @@ def resid_values(plan: DiaPlan, data: jax.Array) -> jax.Array:
     of a hybrid plan — a monotone compaction."""
     if plan.resid_compact is not None and _use_pallas_grid(data.dtype):
         return window_gather(plan.resid_compact, data)
-    return jnp.take(data, jnp.asarray(plan.resid_sel))
+    return jnp.take(data, as_device_array(plan.resid_sel))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -267,7 +284,7 @@ def resid_expand_values(plan: DiaPlan, rvals: jax.Array) -> jax.Array:
     if plan.resid_expand is not None and _use_pallas_grid(rvals.dtype):
         return window_gather(plan.resid_expand, rvals)
     return jnp.zeros((plan.nnz,), rvals.dtype).at[
-        jnp.asarray(plan.resid_sel)].set(rvals)
+        as_device_array(plan.resid_sel)].set(rvals)
 
 
 def _rv_fwd(plan, data):
@@ -575,6 +592,14 @@ def _dia_sddmm_grid_xla(plan: DiaPlan, X, Y):
 # --------------------------------------------------------------------------
 
 def _spmm_core(offsets, n, m, grid_v, B, gv_splits=None):
+    # Folding guard: when the operator values are compile-time constants
+    # (a user closing over a concrete container, or an eagerly prepared
+    # matvec), XLA would fold each `grid_v[:, k][:, None]` of the XLA
+    # core into an (n, 1) literal that TPU layout pads to 128 lanes —
+    # 63 MB per diagonal at cfd2 scale, 3.8 GB at K=70, past the 2 GiB
+    # executable-proto limit.  The barrier is an identity that XLA may
+    # not fold through; for traced values it is free.
+    grid_v = jax.lax.optimization_barrier(grid_v)
     if (B.shape[1] >= MIN_P_PALLAS
             and B.dtype in (jnp.float32, jnp.bfloat16)):
         from .dia_mxu import spmm_core_mxu
@@ -589,17 +614,17 @@ def _spmm_core(offsets, n, m, grid_v, B, gv_splits=None):
 
 def _resid_spmm(plan: DiaPlan, rvals, B):
     """Residual-entry contribution to A @ B (rows sorted)."""
-    prod = rvals[:, None] * jnp.take(B, jnp.asarray(plan.resid_cols),
+    prod = rvals[:, None] * jnp.take(B, as_device_array(plan.resid_cols),
                                      axis=0)
-    return jax.ops.segment_sum(prod, jnp.asarray(plan.resid_rows),
+    return jax.ops.segment_sum(prod, as_device_array(plan.resid_rows),
                                num_segments=plan.n,
                                indices_are_sorted=True)
 
 
 def _resid_spmm_t(plan: DiaPlan, rvals, G):
-    prod = rvals[:, None] * jnp.take(G, jnp.asarray(plan.resid_rows),
+    prod = rvals[:, None] * jnp.take(G, as_device_array(plan.resid_rows),
                                      axis=0)
-    return jax.ops.segment_sum(prod, jnp.asarray(plan.resid_cols),
+    return jax.ops.segment_sum(prod, as_device_array(plan.resid_cols),
                                num_segments=plan.m)
 
 
@@ -642,8 +667,8 @@ def dia_sddmm(plan: DiaPlan, X: jax.Array, Y: jax.Array) -> jax.Array:
         grid = _dia_sddmm_grid_xla(plan, X, Y)
     vals = grid_to_values(plan, grid)
     if plan.is_hybrid:
-        rv = (jnp.take(X, jnp.asarray(plan.resid_rows), axis=0)
-              * jnp.take(Y, jnp.asarray(plan.resid_cols), axis=0)).sum(-1)
+        rv = (jnp.take(X, as_device_array(plan.resid_rows), axis=0)
+              * jnp.take(Y, as_device_array(plan.resid_cols), axis=0)).sum(-1)
         vals = vals + resid_expand_values(plan, rv)
     return vals
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import StaticArray
+from ..types import StaticArray, as_device_array
 
 ELL_MAX_EXPAND = 8.0       # max allowed n*K / nnz padding ratio
 ELL_CHUNK_ELEMS = 512 * 1024 * 1024  # cap gathered intermediate elements
@@ -75,7 +75,7 @@ def build_ell_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
 def _ell_values(plan: ELLPlan, data) -> jax.Array:
     """data (nnz,) -> ELL layout (n, K) via scatter (pads stay zero)."""
     flat = jnp.zeros((plan.n * plan.K,), data.dtype)
-    flat = flat.at[jnp.asarray(plan.flat_pos)].set(
+    flat = flat.at[as_device_array(plan.flat_pos)].set(
         data, unique_indices=True, indices_are_sorted=plan.sorted_pos)
     return flat.reshape(plan.n, plan.K)
 
@@ -92,7 +92,7 @@ def ell_spmm(plan: ELLPlan, data, B) -> jax.Array:
     conversion scatter on the nnz values)."""
     p = B.shape[1]
     ev = _ell_values(plan, data)
-    ec = jnp.asarray(plan.cols)
+    ec = as_device_array(plan.cols)
     out = None
     for (s, e) in _k_chunks(plan, p):
         g = jnp.take(B, ec[:, s:e].reshape(-1), axis=0).reshape(
@@ -106,11 +106,11 @@ def ell_sddmm(plan: ELLPlan, X, Y) -> jax.Array:
     """values (nnz,) of (X @ Yᵀ) at the pattern, in the caller's nonzero
     order.  X is streamed row-aligned; only Y is gathered."""
     p = X.shape[1]
-    ec = jnp.asarray(plan.cols)
+    ec = as_device_array(plan.cols)
     pieces = []
     for (s, e) in _k_chunks(plan, p):
         g = jnp.take(Y, ec[:, s:e].reshape(-1), axis=0).reshape(
             plan.n, e - s, p)
         pieces.append(jnp.einsum("np,nkp->nk", X, g))
     ell_vals = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 1)
-    return jnp.take(ell_vals.reshape(-1), jnp.asarray(plan.flat_pos))
+    return jnp.take(ell_vals.reshape(-1), as_device_array(plan.flat_pos))

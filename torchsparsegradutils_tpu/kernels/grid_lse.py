@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import StaticArray
+from ..types import StaticArray, as_device_array
 from .window_gather import build_window_plan, window_gather, window_gather_xla
 
 GRID_MAX_EXPAND = 8.0
@@ -132,12 +132,22 @@ def masked_lse_kn(XT, validT, counts, width: int, include_zeros: bool):
     return jnp.where(Mv == jnp.inf, jnp.inf, out)
 
 
+_VALIDT_CACHE: dict = {}
+
+
 def _grid_row_lse(plan: EllGridPlan, grid, include_zeros: bool):
     """Masked row-LSE over the (n, K) grid; same semantics as
     ``dia._dia_lse``'s reduce."""
-    validT = jnp.asarray(
-        (plan.src_of_grid >= 0).reshape(plan.n, plan.K).T.copy())
-    cnt = jnp.asarray(plan.counts)
+    # per-plan cache: a fresh numpy mask every trace would inline an
+    # (K, n) literal into the HLO (see as_device_array)
+    hit = _VALIDT_CACHE.get(id(plan))
+    if hit is None or hit[0] is not plan:
+        validT = as_device_array(
+            (plan.src_of_grid >= 0).reshape(plan.n, plan.K).T.copy())
+        _VALIDT_CACHE[id(plan)] = (plan, validT)
+    else:
+        validT = hit[1]
+    cnt = as_device_array(plan.counts)
     return masked_lse_kn(grid.T, validT, cnt, plan.m, include_zeros)
 
 

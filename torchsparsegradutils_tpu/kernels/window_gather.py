@@ -408,9 +408,21 @@ def _window_gather_impl(plan: WindowPlan, src: jax.Array) -> jax.Array:
     return out.reshape(-1)[:plan.dst_size].astype(orig_dtype)
 
 
+_XLA_IDX_CACHE: dict = {}
+
+
 def window_gather_xla(src_of_dst: np.ndarray, src: jax.Array,
                       dst_size: int) -> jax.Array:
     """XLA fallback (per-scalar gather; slow on TPU, fine on CPU/f64)."""
-    idx = jnp.asarray(np.where(src_of_dst >= 0, src_of_dst, src.shape[0]))
+    # cache the sanitized index map per (table, oob sentinel): recomputing
+    # np.where each call would hand jnp a fresh numpy array every trace,
+    # inlining a dst-sized literal into the HLO (see as_device_array)
+    ckey = (id(src_of_dst), int(src.shape[0]))
+    hit = _XLA_IDX_CACHE.get(ckey)
+    if hit is None or hit[0] is not src_of_dst:
+        idx_np = np.where(src_of_dst >= 0, src_of_dst, src.shape[0])
+        _XLA_IDX_CACHE[ckey] = (src_of_dst, as_device_array(idx_np))
+        hit = _XLA_IDX_CACHE[ckey]
+    idx = hit[1]
     srcz = jnp.concatenate([src, jnp.zeros((1,), src.dtype)])
     return jnp.take(srcz, idx)

@@ -411,7 +411,7 @@ def _wave_tri_solve(plan: _WavePlan, data, B, *, unit: bool):
     if unit:
         D = D + eye
     else:
-        D = D + jnp.asarray(plan.pad_mask)[..., None] * eye
+        D = D + as_device_array(plan.pad_mask)[..., None] * eye
     tril = jnp.tril(jnp.ones((nb, nb), bool))
     D_tri = jnp.where(tril, D, 0.0)
     Dinv = jax.scipy.linalg.solve_triangular(
