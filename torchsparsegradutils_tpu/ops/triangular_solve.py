@@ -43,6 +43,7 @@ Example:
 
 from __future__ import annotations
 
+import os
 import warnings
 from dataclasses import dataclass
 from functools import lru_cache
@@ -253,7 +254,8 @@ class _WavePlan:
 
 @lru_cache(maxsize=64)
 def _build_wave_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
-                     nb: int, lower: bool, gcap: int = 8) -> _WavePlan:
+                     nb: int, lower: bool, gcap: int = 8,
+                     kpct: float = 99.0) -> _WavePlan:
     """Level-scheduled wavefront schedule for an unstructured triangular
     solve (SURVEY §7 hard-part 1; the reference leans on cuSPARSE's
     analysis phase instead, sparse_solve.py:176-184).
@@ -339,7 +341,7 @@ def _build_wave_plan(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
     nzc = counts[counts > 0]
     K = Kmax
     if len(nzc) > 1024:
-        K = max(1, min(Kmax, int(np.percentile(nzc, 99.0)) + 1))
+        K = max(1, min(Kmax, int(np.percentile(nzc, kpct)) + 1))
     starts_ = np.zeros(nblk * nb + 1, np.int64)
     np.cumsum(counts, out=starts_[1:])
     slot = np.arange(len(rc)) - starts_[rc]
@@ -563,7 +565,14 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         # meaningfully vs the plain blocked scan (banded/near-sequential
         # patterns pack poorly and stay on the blocked path).
         wnb = min(block_size or 128, 128)
-        wplan = _build_wave_plan(rows, cols, n, wnb, not upper)
+        # TSGU_WAVE_KPCT tunes the wave plan's base/overflow ELL split:
+        # the padded base table gathers S*W*K rows total, so every
+        # percentile point of width is ~W*S wasted gather transactions;
+        # the sweet spot is a hardware question
+        # (benchmarks/probe_tri.py sweeps it).
+        kpct = float(os.environ.get("TSGU_WAVE_KPCT", "99.0"))
+        wplan = _build_wave_plan(rows, cols, n, wnb, not upper,
+                                 kpct=kpct)
         blocked_steps = -(-n // nb)
         if algorithm == "wave" or wplan.S <= 0.6 * blocked_steps:
             return _wave_tri_solve(wplan, A.data, B, unit=unit)
