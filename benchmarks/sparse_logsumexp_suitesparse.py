@@ -79,6 +79,8 @@ def main(small: bool = False):
         rows.append(dict(op="bidir_fwd_bwd", pattern=pattern, n=n,
                          nnz=A.nnz, **r))
         print(rows[-1], flush=True)
+        # incremental write: a timeout/crash mid-suite keeps prior rows
+        write_csv("sparse_logsumexp_suitesparse_results.csv", rows)
 
     offs = [0, 1, -1, 9, -9, 64, -64] if small else STENCIL_OFFSETS
     run(stencil_sparse(key, (n, n), offs, layout="csr"), "stencil")

@@ -93,6 +93,9 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
                              backend=backend, n=n, nnz=A.nnz,
                              rhs=m, dia_coverage=cov, **r))
             print(rows[-2], rows[-1], sep="\n", flush=True)
+            # incremental write: a timeout/crash mid-suite keeps the
+            # rows measured so far (the runner caps each suite process)
+            write_csv("sparse_mm_suite_results.csv", rows)
 
     A_st = stencil_sparse(kA, (n, n), offs, layout="csr")
     run(A_st, "stencil", "csr", ("dia", "xla"))

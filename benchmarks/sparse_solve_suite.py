@@ -66,6 +66,8 @@ def run_matrix(A, b, label, rows, n, nnz):
         rows.append(dict(op="solve_bwd", algorithm=name, matrix=label,
                          n=n, nnz=nnz, rel_residual=None, **r))
         print(rows[-1], flush=True)
+        # incremental write: a timeout/crash mid-suite keeps prior rows
+        write_csv("sparse_generic_solve_suite_results.csv", rows)
 
 
 def main(small: bool = False):

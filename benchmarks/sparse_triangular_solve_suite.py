@@ -57,6 +57,8 @@ def main(small: bool = False):
         rows.append(dict(op="tri_solve_fwd_bwd", pattern=pattern,
                          algorithm=algorithm, n=n, nnz=A.nnz, rhs=m, **r))
         print(rows[-2], rows[-1], sep="\n", flush=True)
+        # incremental write: a timeout/crash mid-suite keeps prior rows
+        write_csv("sparse_triangular_solve_results.csv", rows)
 
     offs = [-64, -9, -1, 0] if small else LOWER_STENCIL
     A_st = stencil_sparse(key, (n, n), offs, well_conditioned=True)
