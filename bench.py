@@ -63,14 +63,18 @@ def chain_bench(step, x0, rep=40, n_meas=4, prepare=None, prep_args=()):
     import jax
     import jax.numpy as jnp
 
+    @jax.jit
+    def many_r(x, r, *pa):
+        s = step if prepare is None else prepare(*pa)
+        # fori_loop with a *traced* trip count: one traced copy of the
+        # step, and ONE compiled program serves both the rep and 2*rep
+        # chains (remote compiles dominate wall-clock on the tunnelled
+        # TPU; the differenced pair also runs the identical executable)
+        return jax.lax.fori_loop(0, r, lambda i, y: s(y), x)
+
     def chain(r):
-        @jax.jit
-        def many(x, *pa):
-            s = step if prepare is None else prepare(*pa)
-            # fori_loop, not an unrolled chain: one traced copy of the
-            # step, so compile time does not scale with rep
-            return jax.lax.fori_loop(0, r, lambda i, y: s(y), x)
-        return many
+        rr = jnp.int32(r)
+        return lambda x, *pa: many_r(x, rr, *pa)
 
     many1, many2 = chain(rep), chain(2 * rep)
     for many in (many1, many2):

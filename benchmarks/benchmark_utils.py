@@ -20,6 +20,7 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 RESULTS_DIR = os.path.join(os.path.dirname(__file__), "results")
@@ -104,15 +105,18 @@ def chain_diff(step: Callable, x0, rep: int = 20, n_meas: int = 4):
     Same differencing as :func:`measure_chained` (2*rep chain minus rep
     chain cancels the fixed ~30 ms per-dispatch tunnel cost) in a plain
     tuple shape for the micro-probe scripts."""
-    import jax
+    @jax.jit
+    def many_r(x, r):
+        # traced trip count: ONE compiled program serves both the rep and
+        # 2*rep chains (halves the dominant cost on the remote-compile
+        # TPU, and the differenced pair runs the identical executable)
+        return jax.lax.fori_loop(0, r, lambda i, y: step(y), x)
 
-    def make(r):
-        @jax.jit
-        def many(x):
-            return jax.lax.fori_loop(0, r, lambda i, y: step(y), x)
-        return many
+    def bind(r):
+        rr = jnp.int32(r)
+        return lambda x: many_r(x, rr)
 
-    many1, many2 = make(rep), make(2 * rep)
+    many1, many2 = bind(rep), bind(2 * rep)
     t0 = time.perf_counter()
     for many in (many1, many2):
         out = many(x0)
@@ -168,14 +172,18 @@ def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
     differencing.
     """
     try:
+        @jax.jit
+        def many_r(x, r, *pa):
+            s = step if prepare is None else prepare(*pa)
+            # fori_loop with a *traced* trip count: one traced copy of
+            # the step AND one compiled program for both the rep and
+            # 2*rep chains (remote compiles dominate suite wall-clock;
+            # the differenced pair also runs the identical executable)
+            return jax.lax.fori_loop(0, r, lambda i, y: s(y), x)
+
         def chain(r):
-            @jax.jit
-            def many(x, *pa):
-                s = step if prepare is None else prepare(*pa)
-                # fori_loop, not an unrolled chain: one traced copy of
-                # the step, so compile time does not scale with rep
-                return jax.lax.fori_loop(0, r, lambda i, y: s(y), x)
-            return many
+            rr = jnp.int32(r)
+            return lambda x, *pa: many_r(x, rr, *pa)
 
         many1 = chain(rep)
         many2 = chain(2 * rep)
