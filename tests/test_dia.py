@@ -445,6 +445,42 @@ class TestHybridDia:
         np.testing.assert_allclose(as_rmatvec(A)(x), A.todense().T @ x,
                                    rtol=1e-5, atol=1e-5)
 
+    def test_chunk_residual_engine_parity(self, monkeypatch):
+        # force the chunk residual engine (interpret mode off-TPU): the
+        # forward, the fused spmm backward (values + d_B, no unsorted
+        # scatter), sddmm, and the p=1 spmv residual must all match XLA
+        monkeypatch.setenv("TSGU_RESID_ENGINE", "chunk")
+        from torchsparsegradutils_tpu.kernels.dia import _resid_chunk_ok
+        A = self._hybrid()
+        plan = _dia_plan(A, "auto")
+        assert _resid_chunk_ok(plan, 9, jnp.float32)
+        B = jax.random.normal(jax.random.fold_in(KEY, 1), (300, 9))
+        G = jax.random.normal(jax.random.fold_in(KEY, 2), (300, 9))
+        np.testing.assert_allclose(sparse_mm(A, B, backend="dia"),
+                                   sparse_mm(A, B, backend="xla"),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(d, b):
+            return (sparse_mm(A.with_data(d), b, backend="dia") * G).sum()
+
+        gd = jax.grad(loss, argnums=(0, 1))(A.data, B)
+        monkeypatch.setenv("TSGU_RESID_ENGINE", "xla")
+        gx = jax.grad(loss, argnums=(0, 1))(A.data, B)
+        np.testing.assert_allclose(gd[0], gx[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gd[1], gx[1], rtol=1e-5, atol=1e-5)
+        monkeypatch.setenv("TSGU_RESID_ENGINE", "chunk")
+        # sddmm residual via chunk_sddmm
+        X = jax.random.normal(KEY, (300, 6))
+        Y = jax.random.normal(jax.random.fold_in(KEY, 1), (300, 6))
+        np.testing.assert_allclose(sddmm(A, X, Y, backend="dia").data,
+                                   sddmm(A, X, Y, backend="xla").data,
+                                   rtol=1e-5, atol=1e-5)
+        # p=1: residual spmv kernel
+        x = jax.random.normal(KEY, (300,))
+        np.testing.assert_allclose(
+            sparse_mm(A, x[:, None], backend="dia")[:, 0],
+            A.todense() @ x, rtol=1e-5, atol=1e-5)
+
     def test_lse_and_tri_skip_hybrid(self):
         from torchsparsegradutils_tpu import sparse_logsumexp
         A = self._hybrid()

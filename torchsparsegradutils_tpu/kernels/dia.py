@@ -43,6 +43,7 @@ Example:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache, partial
 from typing import Optional
@@ -612,8 +613,66 @@ def _spmm_core(offsets, n, m, grid_v, B, gv_splits=None):
     return _spmm_core_xla(offsets, n, grid_v, B)
 
 
+# ---- hybrid residual engine -------------------------------------------
+# The straggler (off-diagonal) entries of a hybrid plan form a generic
+# static sub-pattern.  The XLA gather + segment-sum formulation costs
+# ~10.4 µs per k-nnz on a v5e (measured, BENCH_r04 hybrid regimes); the
+# chunk Pallas kernels run the *same-scale* uniform-random pattern at
+# ~3.4 µs/k-nnz, so residuals big enough to amortise a kernel launch are
+# routed through them — forward via :func:`chunk_spmm`, the spmm backward
+# through the fused pass (SDDMM values + V rows, no unsorted scatter and
+# no per-entry value permutation).  ``TSGU_RESID_ENGINE``: ``auto``
+# (default gates below), ``chunk`` (force, interpret-mode off-TPU — used
+# by the CPU parity tests), ``xla`` (disable).
+
+RESID_MIN_NNZ = 4096     # below this the XLA gather/segment path is fine
+RESID_MIN_P = 32         # chunk kernels pad the RHS to 128 lanes
+
+
+def _resid_engine() -> str:
+    return os.environ.get("TSGU_RESID_ENGINE", "auto")
+
+
+@lru_cache(maxsize=64)
+def _resid_chunk_plans(plan: DiaPlan):
+    """(row plan, column-sorted transpose plan) for the residual
+    sub-pattern; (None, None) when the planner rejects it.  Cached per
+    DiaPlan (id-hashed; DiaPlans are themselves cached by content)."""
+    from .chunk_spmm import build_chunk_plan, build_chunk_plan_transpose
+    rs = StaticArray(np.ascontiguousarray(plan.resid_rows.astype(np.int32)))
+    cs = StaticArray(np.ascontiguousarray(plan.resid_cols.astype(np.int32)))
+    return (build_chunk_plan(rs, cs, plan.n, plan.m),
+            build_chunk_plan_transpose(rs, cs, plan.n, plan.m))
+
+
+def _resid_chunk_ok(plan: DiaPlan, p: int, dtype) -> bool:
+    """Whether the hybrid residual should run on the chunk kernels."""
+    if not plan.is_hybrid:
+        return False
+    eng = _resid_engine()
+    if eng == "xla":
+        return False
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if eng != "chunk":
+        from . import dispatch
+        if not (dispatch.on_tpu()
+                and len(plan.resid_sel) >= RESID_MIN_NNZ
+                and (p >= RESID_MIN_P or p == 1)):
+            return False
+    rp, rpt = _resid_chunk_plans(plan)
+    return rp is not None and rpt is not None
+
+
 def _resid_spmm(plan: DiaPlan, rvals, B):
     """Residual-entry contribution to A @ B (rows sorted)."""
+    p = B.shape[-1]
+    if _resid_chunk_ok(plan, p, B.dtype):
+        from .chunk_spmm import chunk_spmm, chunk_spmv
+        rp, _ = _resid_chunk_plans(plan)
+        if p == 1:
+            return chunk_spmv(rp, rvals, B[:, 0])[:, None]
+        return chunk_spmm(rp, rvals, B)
     prod = rvals[:, None] * jnp.take(B, as_device_array(plan.resid_cols),
                                      axis=0)
     return jax.ops.segment_sum(prod, as_device_array(plan.resid_rows),
@@ -622,10 +681,25 @@ def _resid_spmm(plan: DiaPlan, rvals, B):
 
 
 def _resid_spmm_t(plan: DiaPlan, rvals, G):
+    # standalone transpose: the chunk formulation needs a per-entry value
+    # permutation into column order (~8 µs/k-nnz, the platform scalar-
+    # relayout floor), which cancels its win — XLA stays.  The spmm
+    # *backward* avoids the permutation via the fused V-row pass
+    # (:func:`dia_bwd_pair`).
     prod = rvals[:, None] * jnp.take(G, as_device_array(plan.resid_rows),
                                      axis=0)
     return jax.ops.segment_sum(prod, as_device_array(plan.resid_cols),
                                num_segments=plan.m)
+
+
+def _resid_sddmm(plan: DiaPlan, X, Y):
+    """Residual values of (X @ Yᵀ) at the off-diagonal entries."""
+    if _resid_chunk_ok(plan, Y.shape[-1], X.dtype):
+        from .chunk_spmm import chunk_sddmm
+        rp, _ = _resid_chunk_plans(plan)
+        return chunk_sddmm(rp, X, Y)
+    return (jnp.take(X, as_device_array(plan.resid_rows), axis=0)
+            * jnp.take(Y, as_device_array(plan.resid_cols), axis=0)).sum(-1)
 
 
 def dia_spmm(plan: DiaPlan, data: jax.Array, B: jax.Array) -> jax.Array:
@@ -654,9 +728,8 @@ def dia_spmm_transpose(plan: DiaPlan, data: jax.Array,
     return out
 
 
-def dia_sddmm(plan: DiaPlan, X: jax.Array, Y: jax.Array) -> jax.Array:
-    """values of (X @ Yᵀ) at the pattern, canonical order:
-    d_v[r, k] = dot(X[r, :], Y[r + off_k, :]) (+ residual gather-dots)."""
+def _dia_sddmm_grid(plan: DiaPlan, X, Y):
+    """(n, K) grid with g[r, k] = dot(X[r, :], Y[r + off_k, :])."""
     grid = None
     if _pallas_ok(plan, X.shape[1], X.dtype):
         from .dia_mxu import sddmm_core_mxu
@@ -665,12 +738,50 @@ def dia_sddmm(plan: DiaPlan, X: jax.Array, Y: jax.Array) -> jax.Array:
             grid = _dia_sddmm_pallas(plan, X, Y)
     if grid is None:
         grid = _dia_sddmm_grid_xla(plan, X, Y)
-    vals = grid_to_values(plan, grid)
+    return grid
+
+
+def dia_sddmm(plan: DiaPlan, X: jax.Array, Y: jax.Array) -> jax.Array:
+    """values of (X @ Yᵀ) at the pattern, canonical order:
+    d_v[r, k] = dot(X[r, :], Y[r + off_k, :]) (+ residual gather-dots)."""
+    vals = grid_to_values(plan, _dia_sddmm_grid(plan, X, Y))
     if plan.is_hybrid:
-        rv = (jnp.take(X, as_device_array(plan.resid_rows), axis=0)
-              * jnp.take(Y, as_device_array(plan.resid_cols), axis=0)).sum(-1)
-        vals = vals + resid_expand_values(plan, rv)
+        vals = vals + resid_expand_values(plan, _resid_sddmm(plan, X, Y))
     return vals
+
+
+def dia_bwd_pair(plan: DiaPlan, data, B, g, gv=None, fast: bool = False):
+    """(d_data, d_B) of ``A @ B`` given output cotangent ``g`` — the DIA
+    branch of the spmm custom VJP.
+
+    ``gv`` is the forward's residual: the ``values_to_grid`` grid, or for
+    hybrid plans on the chunk residual engine a ``(grid, resid_B_gather)``
+    pair (the second element saves the fused backward one random re-gather
+    of B rows).  Hybrid residuals run the fused chunk backward — one pass
+    emits both the residual SDDMM values and the ``V = val·g[row]`` rows
+    whose column-order row-sum is the residual's d_B contribution,
+    avoiding the XLA path's unsorted segment scatter entirely."""
+    pg_r = None
+    if isinstance(gv, tuple):
+        gv, pg_r = gv
+    use_chunk = _resid_chunk_ok(plan, B.shape[-1], B.dtype)
+    d_data = grid_to_values(plan, _dia_sddmm_grid(plan, g, B))
+    offsets_T, shift = _transpose_grid(plan)
+    grid_v = values_to_grid(plan, data) if gv is None else gv
+    d_B = _spmm_core(offsets_T, plan.m, plan.n, shift(grid_v), g)
+    if plan.is_hybrid:
+        rv = resid_values(plan, data)
+        if use_chunk:
+            from .chunk_spmm import chunk_spmm_bwd_fused
+            rp, rpt = _resid_chunk_plans(plan)
+            d_rv, d_B_r = chunk_spmm_bwd_fused(rp, rpt, rv, B, g, pg=pg_r,
+                                               fast=fast)
+        else:
+            d_rv = _resid_sddmm(plan, g, B)
+            d_B_r = _resid_spmm_t(plan, rv, g)
+        d_data = d_data + resid_expand_values(plan, d_rv)
+        d_B = d_B + d_B_r
+    return d_data, d_B
 
 
 def prepared_matvec(plan: DiaPlan, data: jax.Array, transpose: bool):

@@ -248,9 +248,17 @@ def _spmm_cv_fwd(backend, grad_precision, A, B):
     if dplan is not None:
         # DIA path: the residual is the diagonal value grid — the backward
         # transpose-SpMM then pays no fill relayout (XLA CSE merges this
-        # values_to_grid with the identical one inside the forward).
-        from ..kernels.dia import values_to_grid
+        # values_to_grid with the identical one inside the forward).  On
+        # hybrid plans whose residual runs the chunk engine, the forward's
+        # B-row gather rides along too (CSE'd with the one inside
+        # chunk_spmm), saving the fused backward a random re-gather.
+        from ..kernels.dia import (_resid_chunk_ok, _resid_chunk_plans,
+                                   values_to_grid)
         pg = values_to_grid(dplan, A.data)
+        if _resid_chunk_ok(dplan, B.shape[-1], B.dtype):
+            from ..kernels.chunk_spmm import chunk_gather
+            rp, _ = _resid_chunk_plans(dplan)
+            pg = (pg, chunk_gather(rp, B))
     elif _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         if plan is not None:
@@ -287,10 +295,12 @@ def _spmm_bwd_pair(backend, grad_precision, A, B, g, pg):
     """
     dplan = _dia_plan(A, backend)
     if dplan is not None:
-        # pg here is the forward's values_to_grid residual (or None when
-        # this pair is called outside the spmm VJP)
-        return (dia_sddmm(dplan, g, B),
-                dia_spmm_transpose(dplan, A.data, g, gv=pg))
+        # pg here is the forward's residual — the values_to_grid grid, or
+        # (grid, resid_B_gather) on hybrid chunk-routed plans (or None
+        # when this pair is called outside the spmm VJP)
+        from ..kernels.dia import dia_bwd_pair
+        return dia_bwd_pair(dplan, A.data, B, g, gv=pg,
+                            fast=(grad_precision == "fast"))
     if _pallas_ok(A, B.shape[-1], backend):
         plan = _chunk_plan(A, backend)
         plan_t = _chunk_plan(A, backend, transpose=True)
@@ -316,7 +326,8 @@ def _spmm_bwd_pair_bwd(backend, grad_precision, res, cts):
     d_Adata = _fallback_sddmm(A.rows(), A.cols(), g, ct_dB)
     d_B = _spmm_transpose("xla", ct_sp, g)
     d_g = _spmm_forward("xla", ct_sp, B) + _spmm_forward("xla", A, ct_dB)
-    d_pg = None if pg is None else jnp.zeros_like(pg)
+    d_pg = (None if pg is None
+            else jax.tree_util.tree_map(jnp.zeros_like, pg))
     return sparse_cotangent(A, d_Adata), d_B, d_g, d_pg
 
 
