@@ -218,7 +218,11 @@ def measure_chained(step: Callable, x0, rep: int = 8, n_meas: int = 5,
                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
 
 
-def write_csv(name: str, rows) -> str:
+def write_csv(name: str, rows, merge: bool = False) -> str:
+    """Write rows (+ env provenance).  ``merge=True`` upserts into an
+    existing CSV instead of replacing it — selective re-runs (e.g.
+    ``sparse_mm_suite --only hybrid70``) update their rows in place,
+    keyed on the identifying (non-measurement) columns."""
     os.makedirs(RESULTS_DIR, exist_ok=True)
     # CPU smoke runs must not clobber committed real-chip results
     if jax.default_backend() not in ("tpu", "axon"):
@@ -226,6 +230,18 @@ def write_csv(name: str, rows) -> str:
     path = os.path.join(RESULTS_DIR, name)
     env = env_info()
     rows = [dict(r, **env) for r in rows]
+    if merge and os.path.exists(path):
+        meas = {"time_us", "time_std_us", "mem_MB", "roofline_pct",
+                "error", *env.keys()}
+
+        def key(r):
+            return tuple(sorted((k, str(v)) for k, v in r.items()
+                                if k not in meas))
+
+        with open(path, newline="") as f:
+            old = list(csv.DictReader(f))
+        new_keys = {key(r) for r in rows}
+        rows = [r for r in old if key(r) not in new_keys] + rows
     keys = list(rows[0].keys())
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)

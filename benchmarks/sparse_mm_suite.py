@@ -30,7 +30,7 @@ STENCIL_OFFSETS = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51,
                           2451, -2451, 2499, -2499, 2500, -2500})
 
 
-def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
+def _run_patterns(rows, n, nnz, m, offs, key, scale_label, only=None):
     kA, kB, kG = jax.random.split(key, 3)
     B = jax.random.normal(kB, (n, m), jnp.float32)
     G = jax.random.normal(kG, (n, m), jnp.float32)
@@ -41,6 +41,8 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
     step_bytes = 4 * (2 * nnz + 5 * n * m)
 
     def run(A, pattern, layout, backends, dtype=jnp.float32):
+        if only is not None and pattern not in only:
+            return
         cov = round(dia_coverage(A)["coverage"], 4)
         # bf16 rows: the documented storage fast path — half the gather /
         # stream bytes, f32 accumulation in every kernel
@@ -94,8 +96,10 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
                              rhs=m, dia_coverage=cov, **r))
             print(rows[-2], rows[-1], sep="\n", flush=True)
             # incremental write: a timeout/crash mid-suite keeps the
-            # rows measured so far (the runner caps each suite process)
-            write_csv("sparse_mm_suite_results.csv", rows)
+            # rows measured so far (the runner caps each suite process);
+            # selective runs merge into the existing CSV
+            write_csv("sparse_mm_suite_results.csv", rows,
+                      merge=only is not None)
 
     A_st = stencil_sparse(kA, (n, n), offs, layout="csr")
     run(A_st, "stencil", "csr", ("dia", "xla"))
@@ -118,22 +122,28 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label):
     run(A, "random_bf16", "csr", ("pallas",), dtype=jnp.bfloat16)
 
 
-def main(small: bool = False, big: bool = True):
+def main(small: bool = False, big: bool = True, only=None):
     key = jax.random.PRNGKey(0)
     rows = []
     if small:
         _run_patterns(rows, 8192, 120_000, 128,
-                      [0, 1, -1, 9, -9, 64, -64], key, "small")
+                      [0, 1, -1, 9, -9, 64, -64], key, "small", only=only)
     else:
-        _run_patterns(rows, N, NNZ, M, STENCIL_OFFSETS, key, "cfd2")
+        _run_patterns(rows, N, NNZ, M, STENCIL_OFFSETS, key, "cfd2",
+                      only=only)
         if big:
             # nnz >= 1e7 roofline rows (stencil DIA path + random):
             # 26 diagonals at N=400k -> nnz ~ 1.04e7
             offs_big = sorted(set(STENCIL_OFFSETS) | {4})
             _run_patterns(rows, N_BIG, NNZ_BIG, M, offs_big,
-                          jax.random.fold_in(key, 7), "nnz1e7")
-    write_csv("sparse_mm_suite_results.csv", rows)
+                          jax.random.fold_in(key, 7), "nnz1e7", only=only)
+    write_csv("sparse_mm_suite_results.csv", rows, merge=only is not None)
 
 
 if __name__ == "__main__":
-    main(small="--small" in sys.argv)
+    _only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            _only = set(a.split("=", 1)[1].split(","))
+    main(small="--small" in sys.argv, big="--no-big" not in sys.argv,
+         only=_only)
