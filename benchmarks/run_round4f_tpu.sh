@@ -41,6 +41,10 @@ run 600 summary python -m benchmarks.visualize_results
 for p in fill step_full; do
   probe 1200 "dia_$p" python -m benchmarks.probe_dia --only "$p"
 done
+# tri backward decomposition + block-size amortisation
+for p in sddmm_p2 tsolve_block fwd_block512; do
+  probe 1200 "tri_$p" python -m benchmarks.probe_tri --only "$p"
+done
 probe 1200 chunk_base python -m benchmarks.probe_random_gather --only spmm_auto
 run 600 summary2 python -m benchmarks.visualize_results
 

@@ -152,6 +152,23 @@ def test_sddmm_matches_dense(key, layout):
                                **tol("direct", X.dtype))
 
 
+def test_sddmm_expand_gather_parity(key, layout, monkeypatch):
+    # the sorted-row expansion gather (narrow-RHS SDDMM X side) must
+    # match the plain XLA row gather; forced on so the window kernel
+    # runs in interpret mode off-TPU
+    kA, kX, kY = jax.random.split(key, 3)
+    A = _mk(kA, (300, 290), 2500, layout)
+    X = jax.random.normal(kX, (300, 2))
+    Y = jax.random.normal(kY, (290, 2))
+    base = sddmm(A, X, Y).data
+    monkeypatch.setenv("TSGU_EXPAND_GATHER", "force")
+    from torchsparsegradutils_tpu.ops.spmm import _sorted_row_expand
+    assert _sorted_row_expand(A, X) is not None
+    forced = sddmm(A, X, Y).data
+    np.testing.assert_allclose(np.asarray(forced), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sddmm_grad(key, layout):
     kA, kX, kY = jax.random.split(key, 3)
     A = _mk(kA, (6, 5), 9, layout)

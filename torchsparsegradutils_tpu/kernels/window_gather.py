@@ -30,6 +30,7 @@ it is a static-plan Pallas kernel keyed on the pattern hash.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -38,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import as_device_array
+from ..types import StaticArray, as_device_array
 
 Z_CAP = 14           # max candidate slices per 8-row sub-chunk (z8 mode):
 #                      8 dest rows draw from ~8/ratio source slabs + jitter
@@ -406,6 +407,18 @@ def _window_gather_impl(plan: WindowPlan, src: jax.Array) -> jax.Array:
         interpret=_interpret(),
     )(*prefetch, loc2d, src2d)
     return out.reshape(-1)[:plan.dst_size].astype(orig_dtype)
+
+
+@lru_cache(maxsize=256)
+def build_expand_plan(idx_sa: StaticArray, src_size: int):
+    """Plan for the monotone *expansion* ``dst[e] = src[idx[e]]`` with
+    ``idx`` sorted non-decreasing (e.g. the per-entry row index of a
+    CSR-canonical pattern: each source row is read by a short contiguous
+    run of entries).  None when the planner rejects the map."""
+    idx = idx_sa.arr.astype(np.int64)
+    if idx.ndim != 1 or idx.size == 0:
+        return None
+    return build_window_plan(idx, int(idx.size), src_size)
 
 
 _XLA_IDX_CACHE: dict = {}

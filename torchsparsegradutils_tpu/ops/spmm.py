@@ -161,6 +161,42 @@ def _fallback_sddmm(row, col, X, Y):
             * jnp.take(Y, jnp.asarray(col), axis=0)).sum(-1)
 
 
+EXPAND_MIN_NNZ = 100_000   # below this the XLA row gather is fine
+
+
+def _sorted_row_expand(A, X):
+    """(nnz, p) row-aligned X stream via the monotone window-gather.
+
+    The XLA formulation ``take(X, rows)`` is one HBM transaction per
+    entry (~11-22 ms at 1.5-3M nnz on v5e) even though ``rows`` is
+    sorted — each source row is read by a contiguous run of entries, so
+    the map is a monotone expansion that the window kernel streams at
+    ~1-2 ms.  This is the X-side of the narrow-RHS SDDMM (the dominant
+    term of the triangular-solve backward at p=2).  Returns None when
+    not applicable (dynamic pattern, small nnz, wide RHS, f64, CPU —
+    force with ``TSGU_EXPAND_GATHER=force`` for interpret-mode tests).
+    """
+    import os
+    rs = A.row_sa()
+    if rs is None or rs.arr.ndim != 1:
+        return None
+    p = X.shape[-1]
+    if os.environ.get("TSGU_EXPAND_GATHER") != "force":
+        if not dispatch.on_tpu() or A.nnz < EXPAND_MIN_NNZ or p > 8:
+            return None
+    if X.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    rows = rs.arr
+    if rows.size > 1 and (np.diff(rows) < 0).any():
+        return None
+    from ..kernels.window_gather import build_expand_plan, window_gather
+    plan = build_expand_plan(rs, A.shape[-2])
+    if plan is None:
+        return None
+    return jnp.stack([window_gather(plan, X[:, j]) for j in range(p)],
+                     axis=1)
+
+
 def _spmv_ok(A, p: int, backend: str) -> bool:
     """p=1 matvec via the chunk-SpMV kernel (scatter-free combine)."""
     if p != 1:
@@ -201,6 +237,11 @@ def _sddmm_values(backend, A, X, Y):
     rp, _ = _plans(A, backend)
     if rp is not None:
         return ell_sddmm(rp, X, Y)
+    if backend in ("auto", "xla"):
+        Xe = _sorted_row_expand(A, X)
+        if Xe is not None:
+            return (Xe * jnp.take(Y, jnp.asarray(A.cols()), axis=0)
+                    ).sum(-1)
     return _fallback_sddmm(A.rows(), A.cols(), X, Y)
 
 
