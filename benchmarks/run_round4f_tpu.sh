@@ -1,13 +1,14 @@
 #!/bin/bash
 # Round-4 phase F: final-priority battery for the remaining wall-clock.
-# Replaces the tail of run_round4d (which ordered probes before the lse /
-# solve suites) once the tri decision probes have landed:
-#   1. tri suite     — fresh differenced CSV (stale rows are round-2-era)
-#   2. lse suite     — same
-#   3. solve suite   — same
-#   4. bench.py      — hybrid regimes on the fused chunk-residual backward
-#   5. summary/plots — regenerate results/SUMMARY.md + pngs
-#   6. leftover probes (DIA step decomposition) if time remains
+# Replaces the tail of run_round4d once the tri decision probes land:
+#   1-3. tri / lse / solve suites — fresh differenced CSVs (the committed
+#        rows are round-2-era trap-inflated numbers)
+#   4. mm suite hybrid re-measure — fused chunk-residual backward
+#      (9f66bfa) + the as_device_array HLO-literal fix for the HTTP 413
+#      rows at nnz1e7
+#   5. summary/plots
+#   6. decomposition probes with whatever time remains
+# bench.py is NOT here: the driver runs it at round end on final code.
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/tpu_runner4f.log
@@ -31,11 +32,11 @@ probe() {
 
 : > "$PROBES"
 
-run 3000 tri_suite    python -m benchmarks.sparse_triangular_solve_suite
-run 2400 logsumexp_ss python -m benchmarks.sparse_logsumexp_suitesparse
-run 2400 solve_suite  python -m benchmarks.sparse_solve_suite
-run 3000 bench.py python bench.py
-grep '"metric"' "$LOG" | tail -1 > /tmp/tpu_bench.json 2>/dev/null || true
+run 2400 tri_suite    python -m benchmarks.sparse_triangular_solve_suite
+run 1800 logsumexp_ss python -m benchmarks.sparse_logsumexp_suitesparse
+run 1800 solve_suite  python -m benchmarks.sparse_solve_suite
+run 2400 mm_hybrid python -m benchmarks.sparse_mm_suite \
+  --only=hybrid70,hybrid85,hybrid95
 run 600 summary python -m benchmarks.visualize_results
 
 for p in fill step_full; do

@@ -44,7 +44,7 @@ from typing import Sequence, Union
 import jax
 import jax.numpy as jnp
 
-from ..types import SparseCOO, SparseCSR, is_sparse
+from ..types import SparseCOO, SparseCSR, as_device_array, is_sparse
 
 __all__ = ["sparse_logsumexp", "sparse_bidir_logsumexp"]
 
@@ -79,8 +79,8 @@ def _flat_indices(A) -> tuple:
     """(rows, cols, values, batch_size) flattened over batch.
 
     rows/cols/values come back as ``(B, nnz)`` (B=1 when unbatched)."""
-    rows = jnp.asarray(A.rows())
-    cols = jnp.asarray(A.cols())
+    rows = as_device_array(A.rows())
+    cols = as_device_array(A.cols())
     vals = A.data
     if A.ndim == 2:
         return rows[None], cols[None], vals[None], 1

@@ -66,7 +66,7 @@ from ..kernels.dia import (
     dia_spmm_transpose,
 )
 from ..kernels.ell import build_ell_plan, ell_sddmm, ell_spmm
-from ..types import SparseCOO, SparseCSR, is_sparse
+from ..types import SparseCOO, SparseCSR, as_device_array, is_sparse
 from .common import sparse_cotangent
 
 __all__ = ["sparse_mm", "sddmm"]
@@ -151,14 +151,16 @@ def _chunk_plan(A, backend: str, transpose: bool = False):
 
 
 def _fallback_spmm(n, sorted_rows, row, col, data, B):
-    prod = data[:, None] * jnp.take(B, jnp.asarray(col), axis=0)
-    return jax.ops.segment_sum(prod, jnp.asarray(row), num_segments=n,
+    prod = data[:, None] * jnp.take(B, as_device_array(col), axis=0)
+    return jax.ops.segment_sum(prod, as_device_array(row), num_segments=n,
                                indices_are_sorted=sorted_rows)
 
 
 def _fallback_sddmm(row, col, X, Y):
-    return (jnp.take(X, jnp.asarray(row), axis=0)
-            * jnp.take(Y, jnp.asarray(col), axis=0)).sum(-1)
+    # as_device_array: a raw numpy index array would inline as an HLO
+    # literal (40-80 MB at nnz~1e7 — the remote compiler rejects it)
+    return (jnp.take(X, as_device_array(row), axis=0)
+            * jnp.take(Y, as_device_array(col), axis=0)).sum(-1)
 
 
 EXPAND_MIN_NNZ = 100_000   # below this the XLA row gather is fine
@@ -240,7 +242,7 @@ def _sddmm_values(backend, A, X, Y):
     if backend in ("auto", "xla"):
         Xe = _sorted_row_expand(A, X)
         if Xe is not None:
-            return (Xe * jnp.take(Y, jnp.asarray(A.cols()), axis=0)
+            return (Xe * jnp.take(Y, as_device_array(A.cols()), axis=0)
                     ).sum(-1)
     return _fallback_sddmm(A.rows(), A.cols(), X, Y)
 
@@ -264,8 +266,9 @@ def _spmm_transpose(backend, A, G):
         if cp is not None:
             return ell_spmm(cp, A.data, G)
     m = A.shape[-1]
-    prod = A.data[:, None] * jnp.take(G, jnp.asarray(A.rows()), axis=0)
-    return jax.ops.segment_sum(prod, jnp.asarray(A.cols()),
+    prod = A.data[:, None] * jnp.take(G, as_device_array(A.rows()),
+                                       axis=0)
+    return jax.ops.segment_sum(prod, as_device_array(A.cols()),
                                num_segments=m)
 
 
@@ -508,8 +511,8 @@ def sparse_mm(A: Union[SparseCOO, SparseCSR], B, *, backend: str = "auto",
             lambda d, b: _spmm_cv(backend, gp, A0.with_data(d), b)
         )(A.data, B)
     # per-element patterns: traced-index fallback under one vmap
-    row = jnp.asarray(A.rows())
-    col = jnp.asarray(A.cols())
+    row = as_device_array(A.rows())
+    col = as_device_array(A.cols())
     n = A.shape[-2]
     core = lambda r, c, d, b: _dyn_spmm(n, r, c, d, b)
     if B.ndim == 2:
@@ -596,8 +599,8 @@ def sddmm(A: Union[SparseCOO, SparseCSR], X, Y, *, backend: str = "auto"):
                 vals = jax.vmap(
                     lambda x, y: _sddmm_cv(be, A0, x, y).data)(X, Y)
         else:
-            row = jnp.asarray(A.rows())
-            col = jnp.asarray(A.cols())
+            row = as_device_array(A.rows())
+            col = as_device_array(A.cols())
             vals = jax.vmap(_dyn_sddmm)(row, col, X, Y)
         return A.with_data(vals)
     raise ValueError(f"sddmm: unsupported ndim combination A={A.ndim}, "

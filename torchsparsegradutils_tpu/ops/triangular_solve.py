@@ -574,7 +574,14 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         wplan = _build_wave_plan(rows, cols, n, wnb, not upper,
                                  kpct=kpct)
         blocked_steps = -(-n // nb)
-        if algorithm == "wave" or wplan.S <= 0.6 * blocked_steps:
+        # measured on v5e (cfd2-scale random factor): the solve is
+        # gather-bound, not step-latency-bound — wave's 7.4x step cut
+        # (965 -> 130) gained nothing (26.1 vs 24.3 ms fwd) because its
+        # padded ELL base amplifies the gathered bytes.  auto therefore
+        # requires a much shallower dependency chain before packing pays;
+        # crossover knob: TSGU_WAVE_GATE (fraction of blocked steps).
+        gate = float(os.environ.get("TSGU_WAVE_GATE", "0.25"))
+        if algorithm == "wave" or wplan.S <= gate * blocked_steps:
             return _wave_tri_solve(wplan, A.data, B, unit=unit)
     plan = _build_tri_plan(rows, cols, n, nb, not upper)
     return _blocked_tri_solve(plan, A.data, B, lower=not upper, unit=unit)
