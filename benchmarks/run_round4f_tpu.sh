@@ -32,9 +32,9 @@ probe() {
 
 : > "$PROBES"
 
-run 2400 tri_suite    python -m benchmarks.sparse_triangular_solve_suite
+run 3000 tri_suite    python -m benchmarks.sparse_triangular_solve_suite
 run 1800 logsumexp_ss python -m benchmarks.sparse_logsumexp_suitesparse
-run 1800 solve_suite  python -m benchmarks.sparse_solve_suite
+run 1500 solve_suite  python -m benchmarks.sparse_solve_suite
 run 2400 mm_hybrid python -m benchmarks.sparse_mm_suite \
   --only=hybrid70,hybrid85,hybrid95
 run 600 summary python -m benchmarks.visualize_results

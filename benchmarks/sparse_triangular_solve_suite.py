@@ -43,7 +43,9 @@ def main(small: bool = False):
                             mem_fn=fwd_step, mem_args=(B,),
                             roofline_bytes=tri_bytes)
         rows.append(dict(op="tri_solve_fwd", pattern=pattern,
-                         algorithm=algorithm, n=n, nnz=A.nnz, rhs=m, **r))
+                         algorithm=algorithm,
+                         block_size=kw.get("block_size", ""),
+                         n=n, nnz=A.nnz, rhs=m, **r))
         grad = jax.grad(lambda d, b: (sparse_triangular_solve(
             A.with_data(d), b, upper=False, algorithm=algorithm,
             **kw) ** 2).sum())
@@ -55,7 +57,9 @@ def main(small: bool = False):
                             mem_fn=bwd_step, mem_args=(A.data,),
                             roofline_bytes=3 * tri_bytes)
         rows.append(dict(op="tri_solve_fwd_bwd", pattern=pattern,
-                         algorithm=algorithm, n=n, nnz=A.nnz, rhs=m, **r))
+                         algorithm=algorithm,
+                         block_size=kw.get("block_size", ""),
+                         n=n, nnz=A.nnz, rhs=m, **r))
         print(rows[-2], rows[-1], sep="\n", flush=True)
         # incremental write: a timeout/crash mid-suite keeps prior rows
         write_csv("sparse_triangular_solve_results.csv", rows)
@@ -65,6 +69,9 @@ def main(small: bool = False):
     run(A_st, "stencil", "dia")
     A_rd = rand_sparse_tri(key, (n, n), nnz, upper=False, layout="csr")
     run(A_rd, "random", "block", block_size=128)
+    # nb=512 amortises the ~25 us/step sequential latency 4x (965 -> 242
+    # steps at cfd2-factor scale); the library default for n >= 16384
+    run(A_rd, "random", "block", block_size=512)
     run(A_rd, "random", "wave")   # level-scheduled wavefront (round 3)
     write_csv("sparse_triangular_solve_results.csv", rows)
 
