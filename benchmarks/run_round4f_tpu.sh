@@ -35,8 +35,13 @@ probe() {
 run 3000 tri_suite    python -m benchmarks.sparse_triangular_solve_suite
 run 1800 logsumexp_ss python -m benchmarks.sparse_logsumexp_suitesparse
 run 1500 solve_suite  python -m benchmarks.sparse_solve_suite
-run 2400 mm_hybrid python -m benchmarks.sparse_mm_suite \
-  --only=hybrid70,hybrid85,hybrid95
+# JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS hoists captured index arrays as
+# runtime args instead of HLO literals — at nnz~1e7 the literals are
+# 40-80 MB each and the tunnelled remote compiler rejects the upload
+# (HTTP 413).  Must be set before the interpreter starts (the mlir
+# lowering default is frozen at import).
+run 2400 mm_hybrid env JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS=1 \
+  python -m benchmarks.sparse_mm_suite --only=hybrid70,hybrid85,hybrid95
 run 600 summary python -m benchmarks.visualize_results
 
 for p in fill step_full; do

@@ -51,6 +51,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..types import as_device_array
+
 LANE = 128
 
 
@@ -122,9 +124,9 @@ def _apply_stages(plan: ShufflePlan, x: jax.Array) -> jax.Array:
     if npad != plan.n:
         flat = jnp.pad(flat, (0, npad - plan.n))
     y = flat.reshape(plan.R, LANE)
-    y = jnp.take_along_axis(y, jnp.asarray(plan.idx1), axis=1)
-    y = jnp.take_along_axis(y, jnp.asarray(plan.idx2), axis=0)
-    y = jnp.take_along_axis(y, jnp.asarray(plan.idx3), axis=1)
+    y = jnp.take_along_axis(y, as_device_array(plan.idx1), axis=1)
+    y = jnp.take_along_axis(y, as_device_array(plan.idx2), axis=0)
+    y = jnp.take_along_axis(y, as_device_array(plan.idx3), axis=1)
     return y.reshape(-1)[:plan.n]
 
 
