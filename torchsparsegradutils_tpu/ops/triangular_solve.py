@@ -571,17 +571,35 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         # the sweet spot is a hardware question
         # (benchmarks/probe_tri.py sweeps it).
         kpct = float(os.environ.get("TSGU_WAVE_KPCT", "99.0"))
-        wplan = _build_wave_plan(rows, cols, n, wnb, not upper,
-                                 kpct=kpct)
         blocked_steps = -(-n // nb)
         # measured on v5e (cfd2-scale random factor): the solve is
         # gather-bound, not step-latency-bound — wave's 7.4x step cut
         # (965 -> 130) gained nothing (26.1 vs 24.3 ms fwd) because its
         # padded ELL base amplifies the gathered bytes.  auto therefore
-        # requires a much shallower dependency chain before packing pays;
-        # crossover knob: TSGU_WAVE_GATE (fraction of blocked steps).
+        # packs only when (a) the dependency chain is much shallower than
+        # the blocked scan (TSGU_WAVE_GATE x blocked steps), or (b) the
+        # row degrees are skewed: the blocked plan's full-max ELL table
+        # pads every row to the max degree, so a transposed random factor
+        # (column degrees ~ 1/j: max 10-20x the p99) amplifies the value
+        # gather by the same factor, while the wave plan's p99 base +
+        # overflow tier absorbs the tail.  Skew gate: TSGU_TRI_SKEW.
         gate = float(os.environ.get("TSGU_WAVE_GATE", "0.25"))
-        if algorithm == "wave" or wplan.S <= gate * blocked_steps:
+        use_wave = algorithm == "wave"
+        if not use_wave:
+            skew_gate = float(os.environ.get("TSGU_TRI_SKEW", "4.0"))
+            off = (cols.arr < rows.arr) if not upper else (cols.arr
+                                                           > rows.arr)
+            deg = np.bincount(rows.arr[off], minlength=n)
+            kmax = int(deg.max(initial=0))
+            kp99 = int(np.percentile(deg, 99.0)) if n else 0
+            use_wave = kmax > skew_gate * max(kp99, 1)
+        if not use_wave:
+            wplan = _build_wave_plan(rows, cols, n, wnb, not upper,
+                                     kpct=kpct)
+            use_wave = wplan.S <= gate * blocked_steps
+        if use_wave:
+            wplan = _build_wave_plan(rows, cols, n, wnb, not upper,
+                                     kpct=kpct)
             return _wave_tri_solve(wplan, A.data, B, unit=unit)
     plan = _build_tri_plan(rows, cols, n, nb, not upper)
     return _blocked_tri_solve(plan, A.data, B, lower=not upper, unit=unit)
