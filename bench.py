@@ -281,6 +281,13 @@ def _fallback(err):
 
 
 if __name__ == "__main__":
+    # Re-exec with JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS=1 so jit-captured
+    # index arrays hoist as runtime args instead of HLO literals (the
+    # tunnelled remote compiler rejects >~40 MB literal uploads with
+    # HTTP 413); must be in the env before interpreter start, and the
+    # driver invokes this script directly, so it re-execs itself.
+    from benchmarks._jaxenv import reexec
+    reexec()
     _wait_for_device()
     try:
         main()

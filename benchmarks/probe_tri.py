@@ -119,4 +119,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from benchmarks._jaxenv import reexec
+    reexec()  # JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS (HTTP 413 fix)
     main()

@@ -89,4 +89,6 @@ def main(small: bool = False):
 
 
 if __name__ == "__main__":
+    from benchmarks._jaxenv import reexec
+    reexec()  # JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS (HTTP 413 fix)
     main(small="--small" in sys.argv)

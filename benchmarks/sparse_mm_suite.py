@@ -141,6 +141,8 @@ def main(small: bool = False, big: bool = True, only=None):
 
 
 if __name__ == "__main__":
+    from benchmarks._jaxenv import reexec
+    reexec()  # JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS (HTTP 413 fix)
     _only = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
