@@ -99,22 +99,30 @@ def roofline_pct(bytes_moved: Optional[float],
                  * 100.0, 1)
 
 
-def chain_diff(step: Callable, x0, rep: int = 20, n_meas: int = 4):
+def chain_diff(step: Callable, x0, rep: int = 20, n_meas: int = 4,
+               prepare: Optional[Callable] = None, prep_args=()):
     """Probe-grade differenced chain: returns (median ms/step, compile s).
 
     Same differencing as :func:`measure_chained` (2*rep chain minus rep
     chain cancels the fixed ~30 ms per-dispatch tunnel cost) in a plain
-    tuple shape for the micro-probe scripts."""
+    tuple shape for the micro-probe scripts.
+
+    ``prepare(*prep_args) -> step`` threads operand values as TRACED
+    ARGUMENTS instead of closure constants.  Use it whenever the step
+    would close over a concrete array of MBs: a captured 12 MB value
+    grid tripled the remote compile time of the identical kernel
+    (measured 1045 s vs 356 s — the round-4 "20-minute compile" gap)."""
     @jax.jit
-    def many_r(x, r):
+    def many_r(x, r, *pa):
+        s = step if prepare is None else prepare(*pa)
         # traced trip count: ONE compiled program serves both the rep and
         # 2*rep chains (halves the dominant cost on the remote-compile
         # TPU, and the differenced pair runs the identical executable)
-        return jax.lax.fori_loop(0, r, lambda i, y: step(y), x)
+        return jax.lax.fori_loop(0, r, lambda i, y: s(y), x)
 
     def bind(r):
         rr = jnp.int32(r)
-        return lambda x: many_r(x, rr)
+        return lambda x: many_r(x, rr, *prep_args)
 
     many1, many2 = bind(rep), bind(2 * rep)
     t0 = time.perf_counter()

@@ -32,9 +32,14 @@ STENCIL_OFFSETS = sorted({0, 1, -1, 2, -2, 3, -3, 49, -49, 50, -50, 51,
                           2451, -2451, 2499, -2499, 2500, -2500})
 
 
-def chain(step, x0, rep=20, n_meas=4):
+def chain(step, x0, rep=20, n_meas=4, prepare=None, prep_args=()):
+    # prepare/prep_args: thread operand values as TRACED ARGUMENTS, not
+    # closure constants — a closed-over concrete grid (12 MB at cfd2
+    # scale) triples the remote compile time (measured: 1045 s vs 356 s
+    # for the identical kernel; round-4 "20-minute compile" gap 2).
     from .benchmark_utils import chain_diff
-    return chain_diff(step, x0, rep=rep, n_meas=n_meas)
+    return chain_diff(step, x0, rep=rep, n_meas=n_meas, prepare=prepare,
+                      prep_args=prep_args)
 
 
 def main():
@@ -79,27 +84,50 @@ def main():
             ms, cs = chain(lambda g: g + eps * grid_to_values(
                 plan, g).sum(), grid0)
         elif name == "spmm_core":
-            ms, cs = chain(lambda b: b + eps * _spmm_core(
-                plan.offsets, plan.n, plan.m, grid0, b), B)
+            # grid threaded as a traced arg + hoisted bf16 splits (a
+            # closed-over concrete grid triples the remote compile time)
+            from torchsparsegradutils_tpu.kernels.dia_mxu import (
+                split_grid_for_mxu)
+
+            def prep(g):
+                gs = split_grid_for_mxu(g)
+                return lambda b: b + eps * _spmm_core(
+                    plan.offsets, plan.n, plan.m, g, b, gv_splits=gs)
+
+            ms, cs = chain(None, B, prepare=prep, prep_args=(grid0,))
         elif name == "spmm_core_bf16":
-            g16 = grid0.astype(jnp.bfloat16)
             B16 = B.astype(jnp.bfloat16)
-            ms, cs = chain(lambda b: b + _spmm_core(
-                plan.offsets, plan.n, plan.m, g16, b) * eps.astype(
-                    jnp.bfloat16), B16)
+
+            def prep(g):
+                return lambda b: b + _spmm_core(
+                    plan.offsets, plan.n, plan.m, g, b) * eps.astype(
+                        jnp.bfloat16)
+
+            ms, cs = chain(None, B16, prepare=prep,
+                           prep_args=(grid0.astype(jnp.bfloat16),))
         elif name == "sddmm_core":
-            ms, cs = chain(lambda g: g + eps * jnp.reshape(
-                dia_sddmm(plan, g, B).sum(), ()), G)
+            def prep(b):
+                return lambda g: g + eps * jnp.reshape(
+                    dia_sddmm(plan, g, b).sum(), ())
+
+            ms, cs = chain(None, G, prepare=prep, prep_args=(B,))
         elif name == "sddmm_core_bf16":
-            B16 = B.astype(jnp.bfloat16)
-            ms, cs = chain(lambda g: g + jnp.reshape(
-                dia_sddmm(plan, g, B16).sum(), ()).astype(jnp.bfloat16)
-                * jnp.bfloat16(1e-12), G.astype(jnp.bfloat16))
+            def prep(b):
+                return lambda g: g + jnp.reshape(
+                    dia_sddmm(plan, g, b).sum(), ()).astype(jnp.bfloat16
+                                                            ) * jnp.bfloat16(1e-12)
+
+            ms, cs = chain(None, G.astype(jnp.bfloat16), prepare=prep,
+                           prep_args=(B.astype(jnp.bfloat16),))
         elif name == "spmm_t_core":
             offsets_T, shift = _transpose_grid(plan)
-            gT = shift(grid0)
-            ms, cs = chain(lambda g: g + eps * _spmm_core(
-                offsets_T, plan.m, plan.n, gT, g), G)
+
+            def prep(g0):
+                gT = shift(g0)
+                return lambda g: g + eps * _spmm_core(
+                    offsets_T, plan.m, plan.n, gT, g)
+
+            ms, cs = chain(None, G, prepare=prep, prep_args=(grid0,))
         elif name == "spmm_vpu":
             # the round-2 VPU shift kernel, for MXU-vs-VPU comparison
             ms, cs = chain(lambda b: b + eps * _spmm_core_pallas(

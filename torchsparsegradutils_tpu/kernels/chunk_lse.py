@@ -150,15 +150,15 @@ def lse_fn_transposed(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
                       m: int, include_zeros: bool):
     """Column-wise LSE = row-wise LSE of the transpose: returns
     ``(fn, reorder)`` where ``fn(reorder(data))`` gives the (m,) result,
-    or None.  ``reorder`` moves values to CSC order: off-TPU through the
-    3-stage shuffle plan (kernels/shuffle.py); on TPU a flat ``jnp.take``
-    — at ~22 ms per 3M values that is the measured per-scalar relayout
-    floor of the platform (no Mosaic primitive routes values between
-    vector registers; see the shuffle module docstring)."""
+    or None.  ``reorder`` moves values to CSC order through
+    :func:`..kernels.shuffle.permute_values` — on TPU the expansion-
+    gather route (values ride 128-lane rows; ~4 streaming passes instead
+    of ~19-22 ms of per-scalar gather ops at 3M values), with the
+    inverse permutation as its VJP (the autodiff default would be an
+    unsorted scatter)."""
     from .. import native
     from .grid_lse import grid_lse_fn
-    from .shuffle import build_shuffle_plan, shuffle_values
-    from .chunk_spmm import interpret_mode
+    from .shuffle import permute_values
     rows = rows_sa.arr.astype(np.int64)
     cols = cols_sa.arr.astype(np.int64)
     if rows.ndim != 1 or len(rows) == 0:
@@ -171,16 +171,10 @@ def lse_fn_transposed(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
         fn = lse_fn(rt, ct, m, n, include_zeros)
     if fn is None:
         return None
-    splan = (build_shuffle_plan(perm, len(perm))
-             if interpret_mode() else None)
-    if splan is not None:
-        def reorder(data, _p=splan):
-            return shuffle_values(_p, data)
-    else:
-        perm_dev = as_device_array(perm)
+    perm_sa = StaticArray(np.ascontiguousarray(perm.astype(np.int64)))
 
-        def reorder(data, _p=perm_dev):
-            return jnp.take(data, _p)
+    def reorder(data, _p=perm_sa):
+        return permute_values(_p, data)
 
     return fn, reorder
 

@@ -86,6 +86,33 @@ def _prec() -> str:
     return os.environ.get("TSGU_MXU_PREC", "exact")
 
 
+def _body_mode() -> str:
+    """Inner-loop structure of the SpMM/SDDMM cores (round-5 rework):
+
+    * ``tree`` (default): every (pass-pair, cluster) contraction is an
+      independent ``dot_general`` and the partials combine in a balanced
+      tree — no serial ``acc = acc + dot`` chain forcing the VPU add to
+      sit between consecutive MXU issues (measured: the chain held the
+      f32 core at ~2.7x its MXU-pass floor).
+    * ``pair``: additionally concatenates the C per-cluster operands
+      into one k=C·(E+128) contraction per pass pair (fewer, larger
+      matmuls; pays a per-sub-tile VMEM copy assembling the window).
+    * ``legacy``: the round-4 chained body.
+    """
+    return os.environ.get("TSGU_MXU_BODY", "tree")
+
+
+def _tree_sum(parts):
+    """Balanced-tree sum of equal-shape arrays (log-depth add chain)."""
+    parts = list(parts)
+    while len(parts) > 1:
+        nxt = [a + b for a, b in zip(parts[0::2], parts[1::2])]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
 def _nsplits(dtype, prec: str) -> int:
     if dtype == jnp.bfloat16:
         return 1
@@ -513,25 +540,59 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
         _emit_halo_stream(i, b_hbm, staging, sems, halos, cfg)
         idx_v = idx_ref[...]
 
+        mode = _body_mode()
+        ivs = sorted({iv for iv, _ in pairs})
+        jbs = sorted({jb for _, jb in pairs})
+
+        def gather_m(iv, c):
+            # gather in 32-bit (Mosaic lane-gather width), then the
+            # lossless bf16 narrowing
+            def g(vt):
+                return jnp.concatenate(
+                    [jnp.take_along_axis(vt, idx_v[c, b], axis=1)
+                     for b in range(nb)], axis=1).astype(jnp.bfloat16)
+            return g
+
         def body(sub, _):
             vts = [jnp.pad(vr[pl.ds(sub * LANE, LANE), :],
                            ((0, 0), (0, LANE - K))) for vr in v_refs]
-            acc = jnp.zeros((LANE, LANE), jnp.float32)
-            for c in range(C):
-                Ms = {}
-                for (iv, jb) in pairs:
-                    if iv not in Ms:
-                        # gather in 32-bit (Mosaic lane-gather width),
-                        # then the lossless bf16 narrowing
-                        Ms[iv] = jnp.concatenate(
-                            [jnp.take_along_axis(vts[iv], idx_v[c, b],
-                                                 axis=1)
-                             for b in range(nb)],
-                            axis=1).astype(jnp.bfloat16)      # (128, Wd)
-                    win = halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
-                    acc = acc + jax.lax.dot_general(
-                        Ms[iv], win, _DN_NT,
-                        preferred_element_type=jnp.float32)
+            if mode == "legacy":
+                acc = jnp.zeros((LANE, LANE), jnp.float32)
+                for c in range(C):
+                    Ms = {}
+                    for (iv, jb) in pairs:
+                        if iv not in Ms:
+                            Ms[iv] = gather_m(iv, c)(vts[iv])  # (128, Wd)
+                        win = halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
+                        acc = acc + jax.lax.dot_general(
+                            Ms[iv], win, _DN_NT,
+                            preferred_element_type=jnp.float32)
+            elif mode == "pair":
+                # one k = C*Wd contraction per pass pair: the C cluster
+                # operands concatenate along the contraction axis (M side
+                # lands there straight from the gathers; the W side pays
+                # one VMEM copy per distinct halo split)
+                Mcat = {iv: jnp.concatenate(
+                    [gather_m(iv, c)(vts[iv]) for c in range(C)], axis=1)
+                    for iv in ivs}                       # (128, C*Wd)
+                Wcat = {jb: jnp.concatenate(
+                    [halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
+                     for c in range(C)], axis=0)
+                    for jb in jbs}                       # (C*Wd, 128)
+                acc = _tree_sum([jax.lax.dot_general(
+                    Mcat[iv], Wcat[jb], _DN_NT,
+                    preferred_element_type=jnp.float32)
+                    for (iv, jb) in pairs])
+            else:  # tree
+                # independent dots + balanced-tree combine: no serial
+                # acc chain interleaving a VPU add between MXU issues
+                Ms = {(iv, c): gather_m(iv, c)(vts[iv])
+                      for iv in ivs for c in range(C)}
+                acc = _tree_sum([jax.lax.dot_general(
+                    Ms[(iv, c)],
+                    halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :],
+                    _DN_NT, preferred_element_type=jnp.float32)
+                    for (iv, jb) in pairs for c in range(C)])
             out_ref[pl.ds(sub * LANE, LANE), :] = acc.astype(out_ref.dtype)
             return 0
 
@@ -624,22 +685,28 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
         eidx_v = eidx_ref[...]
         emsk_v = emsk_ref[...]
 
+        chained = _body_mode() == "legacy"
+
         def body(sub, _):
             xts = split_bf16(x_ref[pl.ds(sub * LANE, LANE), :], nsx)
-            acc = jnp.zeros((LANE, LANE), jnp.float32)
+            parts = []
             for c in range(C):
                 win = [halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
                        for jb in range(nsy)]
-                P = None
-                for (ix, jy) in pairs:
-                    t = jax.lax.dot_general(
-                        xts[ix], win[jy], _DN_TT,
-                        preferred_element_type=jnp.float32)   # (128, Wd)
-                    P = t if P is None else P + t
+                # independent dots + tree combine (see the SpMM body):
+                # the per-pair P accumulation and the per-block masked
+                # extraction adds otherwise chain a VPU op between
+                # consecutive MXU issues
+                P = _tree_sum([jax.lax.dot_general(
+                    xts[ix], win[jy], _DN_TT,
+                    preferred_element_type=jnp.float32)       # (128, Wd)
+                    for (ix, jy) in pairs])
                 for b in range(nb):
                     got = jnp.take_along_axis(
                         P[:, b * LANE:(b + 1) * LANE], eidx_v[c, b], axis=1)
-                    acc = acc + got * emsk_v[c, b]
+                    parts.append(got * emsk_v[c, b])
+            acc = (sum(parts[1:], parts[0]) if chained
+                   else _tree_sum(parts))
             out_ref[pl.ds(sub * LANE, LANE), :] = acc[:, :K].astype(
                 out_ref.dtype)
             return 0

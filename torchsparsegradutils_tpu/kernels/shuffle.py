@@ -153,3 +153,73 @@ def shuffle_values(plan: ShufflePlan, x: jax.Array) -> jax.Array:
         raise ValueError(
             f"shuffle_values: expected shape ({plan.n},), got {x.shape}")
     return _shuffle(plan, x)
+
+
+# --------------------------------------------------------------------------
+# expansion-gather permutation (round 5): the on-TPU fast path
+# --------------------------------------------------------------------------
+#
+# The flat ``jnp.take(x, perm)`` pays a per-SCALAR gather op per entry
+# (~19-22 ms at 3M values on v5e) even though every HBM transaction it
+# issues is ~512 bytes wide anyway.  Routing the same values as 128-lane
+# ROWS costs the identical per-entry transaction but runs on the fast
+# row-gather path: broadcast x to an (n, 128) matrix, gather rows by
+# ``perm``, slice lane 0.  Four streaming passes over n*512 bytes beat
+# millions of scalar gather ops.  The ``optimization_barrier``s are
+# load-bearing: without them XLA fuses the broadcast (or the lane-0
+# slice) into the gather and collapses it back to a scalar gather.
+
+EXPAND_MIN_N = 1 << 19        # below this the flat take is cheap enough
+
+
+def _expand_take(perm_dev: jax.Array, x: jax.Array) -> jax.Array:
+    E = jnp.broadcast_to(x[:, None], (x.shape[0], LANE))
+    E = jax.lax.optimization_barrier(E)
+    G = jnp.take(E, perm_dev, axis=0)
+    G = jax.lax.optimization_barrier(G)
+    return G[:, 0]
+
+
+def _use_expand(n: int, dtype) -> bool:
+    from . import dispatch
+    return (dispatch.on_tpu() and n >= EXPAND_MIN_N
+            and dtype in (jnp.float32, jnp.bfloat16))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _permute(perm_sa, inv_sa, x):
+    perm_dev = as_device_array(perm_sa.arr)
+    if _use_expand(x.shape[0], x.dtype):
+        return _expand_take(perm_dev, x)
+    return jnp.take(x, perm_dev)
+
+
+def _permute_fwd(perm_sa, inv_sa, x):
+    return _permute(perm_sa, inv_sa, x), None
+
+
+def _permute_bwd(perm_sa, inv_sa, _, ct):
+    # out[i] = x[perm[i]]  =>  d_x[j] = ct[inv[j]] — another permutation
+    # (the autodiff default would be an unsorted scatter, ~25 ms at 3M)
+    return (_permute(inv_sa, perm_sa, ct),)
+
+
+_permute.defvjp(_permute_fwd, _permute_bwd)
+
+
+@lru_cache(maxsize=256)
+def _perm_pair(perm_sa):
+    inv = np.argsort(perm_sa.arr).astype(perm_sa.arr.dtype)
+    from ..types import StaticArray
+    return StaticArray(np.ascontiguousarray(inv))
+
+
+def permute_values(perm_sa, x: jax.Array) -> jax.Array:
+    """Differentiable static permutation ``out[i] = x[perm[i]]``.
+
+    ``perm_sa``: a :class:`~..types.StaticArray` holding a permutation of
+    ``[0, len(x))``.  On TPU, large f32/bf16 streams ride the
+    expansion-gather route above; everything else takes the flat gather.
+    The VJP applies the inverse permutation by the same route.
+    """
+    return _permute(perm_sa, _perm_pair(perm_sa), x)
