@@ -34,6 +34,7 @@ import numpy as np
 ALL = [
     "spmm_core_arg", "spmm_core_const", "sddmm_core_arg",
     "reorder_take", "reorder_expand", "expand_write", "gather_rows_only",
+    "permute_lib", "benes", "benes_bwd",
 ]
 
 N_ROWS = 123_440
@@ -176,6 +177,27 @@ def main():
 
             ms, cs = chain(step, v)
             report(name, ms, nnz * 512, f"compile {cs:.0f}s")
+        elif name == "permute_lib":
+            # the real library path (kernels/shuffle.py:permute_values):
+            # expansion + barriers + row gather; chained output feeds the
+            # next iteration so nothing can be DCE'd or fused away.
+            from torchsparsegradutils_tpu.kernels.shuffle import (
+                permute_values)
+            from torchsparsegradutils_tpu.types import StaticArray
+            sa = StaticArray(np.ascontiguousarray(perm.astype(np.int64)))
+            ms, cs = chain(lambda a: permute_values(sa, a) + eps * a[0], v)
+            report(name, ms, nnz * 4 * 2, f"compile {cs:.0f}s")
+        elif name in ("benes", "benes_bwd"):
+            # Beneš exchange-network permutation (kernels/benes.py): the
+            # same CSC-order reorder as reorder_take, as 43 oblivious
+            # streaming stages instead of 3M scattered transactions.
+            from torchsparsegradutils_tpu.kernels.benes import benes_permute
+            from torchsparsegradutils_tpu.types import StaticArray
+            sa = StaticArray(np.ascontiguousarray(perm.astype(np.int64)))
+            inv = name == "benes_bwd"
+            ms, cs = chain(
+                lambda a: benes_permute(sa, a, inverse=inv) + eps * a[0], v)
+            report(name, ms, nnz * 4 * 2, f"compile {cs:.0f}s")
         elif name == "gather_rows_only":
             p = jnp.asarray(perm)
             E = jax.random.normal(key, (nnz, 128), jnp.float32)

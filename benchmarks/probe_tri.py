@@ -29,7 +29,7 @@ import sys
 
 ALL = ["fwd_block128", "fwd_block512", "fwd_block1024", "fwd_wave",
        "tsolve_block", "tsolve_wave", "sddmm_p2", "cotangent",
-       "step_block", "step_wave"]
+       "step_block", "step_wave", "val_gather128", "val_gather512"]
 
 N_ROWS = 123_440
 NNZ = 3_087_898 // 2
@@ -110,6 +110,25 @@ def main():
             ms, cs = chain(grad_step("block", block_size=128), A.data)
         elif name == "step_wave":
             ms, cs = chain(grad_step("wave"), A.data)
+        elif name.startswith("val_gather"):
+            # the blocked plan's ELL value-table fill alone (scalar static
+            # gather, nnz -> (nblk, nb, K) with sentinel padding): suspected
+            # dominant term of both the forward scan and the transpose solve
+            from torchsparsegradutils_tpu.ops.triangular_solve import (
+                _build_tri_plan)
+            from torchsparsegradutils_tpu.types import StaticArray
+            import numpy as np
+            nb = int(name[10:])
+            rows = StaticArray(np.asarray(A.rows_np()))
+            colsa = StaticArray(np.asarray(A.cols_np()))
+            plan = _build_tri_plan(rows, colsa, n, nb, True)
+            tbl = plan.ell_sel.size
+            eps32 = jnp.float32(1e-30)
+            ms, cs = chain(lambda d: d + eps32 * plan.val_gather(d).sum(),
+                           A.data)
+            print(json.dumps({"probe": name, "table_slots": int(tbl),
+                              "K": int(plan.ell_sel.shape[-1])}),
+                  flush=True)
         print(json.dumps({"probe": name, "ms": round(ms, 3),
                           "kpct": os.environ.get("TSGU_WAVE_KPCT", "99.0"),
                           "note": f"compile {cs:.0f}s"}), flush=True)

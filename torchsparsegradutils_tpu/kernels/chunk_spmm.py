@@ -415,8 +415,11 @@ def chunk_spmm_bwd_fused(plan: ChunkPlan, plan_t: ChunkPlan, data, B, G,
     # column-sorted order (plan_t), with unit weights.
     perm_pad = _perm_pad_cache(plan_t)
     Vg = jnp.take(V, perm_pad, axis=0)
-    # ones stay f32: a bf16 (SB, C) block violates the 16-sublane tile
-    ones = jnp.zeros((plan_t.nnz_pad,), jnp.float32).at[:plan_t.nnz].set(1.0)
+    # ones stay f32: a bf16 (SB, C) block violates the 16-sublane tile.
+    # (pad, not .at[:nnz].set — the basic-slice scatter's empty index
+    # constant breaks JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS hoisting)
+    ones = jnp.pad(jnp.ones((plan_t.nnz,), jnp.float32),
+                   (0, plan_t.nnz_pad - plan_t.nnz))
     SBt, Ct, Wt = plan_t.SB, plan_t.C, plan_t.W
     grid_t, lr_t, v_t, pg_t, _, part_t = _grid_specs(plan_t, p_pad)
 

@@ -87,19 +87,24 @@ def _prec() -> str:
 
 
 def _body_mode() -> str:
-    """Inner-loop structure of the SpMM/SDDMM cores (round-5 rework):
+    """Inner-loop structure of the SpMM/SDDMM cores.
 
-    * ``tree`` (default): every (pass-pair, cluster) contraction is an
-      independent ``dot_general`` and the partials combine in a balanced
-      tree — no serial ``acc = acc + dot`` chain forcing the VPU add to
-      sit between consecutive MXU issues (measured: the chain held the
-      f32 core at ~2.7x its MXU-pass floor).
-    * ``pair``: additionally concatenates the C per-cluster operands
-      into one k=C·(E+128) contraction per pass pair (fewer, larger
-      matmuls; pays a per-sub-tile VMEM copy assembling the window).
-    * ``legacy``: the round-4 chained body.
+    Round-5 A/B on a real v5e (benchmarks/probe_r5.py spmm_core_arg /
+    sddmm_core_arg, traced-argument grid):
+
+    * ``legacy`` (default): the chained ``acc = acc + dot`` body —
+      **1.953 ms** spmm core at cfd2-stencil scale.
+    * ``tree``: independent dots, balanced-tree combine — 2.145 ms.
+      The "serial VPU add between MXU issues" hypothesis was wrong;
+      the extra live operands cost more than the chain.
+    * ``pair``: one k=C·(E+128) contraction per pass pair — 2.085 ms
+      (the VERDICT-r4 suggested fix; the per-sub-tile VMEM copy
+      assembling the concatenated window eats the fewer-matmuls win).
+
+    The knob stays for future hardware.  sddmm: tree 1.670 / pair 1.644
+    (legacy body not separately chained there; parts still tree-combine).
     """
-    return os.environ.get("TSGU_MXU_BODY", "tree")
+    return os.environ.get("TSGU_MXU_BODY", "legacy")
 
 
 def _tree_sum(parts):

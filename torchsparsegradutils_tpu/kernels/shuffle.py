@@ -160,14 +160,18 @@ def shuffle_values(plan: ShufflePlan, x: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 #
 # The flat ``jnp.take(x, perm)`` pays a per-SCALAR gather op per entry
-# (~19-22 ms at 3M values on v5e) even though every HBM transaction it
-# issues is ~512 bytes wide anyway.  Routing the same values as 128-lane
-# ROWS costs the identical per-entry transaction but runs on the fast
-# row-gather path: broadcast x to an (n, 128) matrix, gather rows by
-# ``perm``, slice lane 0.  Four streaming passes over n*512 bytes beat
-# millions of scalar gather ops.  The ``optimization_barrier``s are
-# load-bearing: without them XLA fuses the broadcast (or the lane-0
-# slice) into the gather and collapses it back to a scalar gather.
+# (~19-22 ms at 3M values on v5e).  The expansion route below re-issues
+# the same permutation as 128-lane ROW gathers (broadcast x to (n, 128),
+# gather rows, slice lane 0) on the theory that scalar gather was
+# op-issue-bound rather than transaction-bound.  **Measured (round 5,
+# benchmarks/probe_r5.py)**: expansion-gather 21.0-21.8 ms vs flat take
+# 20.7 ms at 3M f32 values — the flat gather is already HBM-transaction
+# -bound, so routing scalars as rows buys nothing and costs 128x the
+# bytes.  The expand route is therefore OFF by default
+# (``TSGU_PERMUTE_EXPAND=1`` re-enables it for re-probing); what this
+# module's TPU path really contributes is the custom VJP: the inverse
+# permutation by the same gather (~21 ms) instead of autodiff's default
+# unsorted scatter-add (~25 ms, and unfusable).
 
 EXPAND_MIN_N = 1 << 19        # below this the flat take is cheap enough
 
@@ -181,13 +185,36 @@ def _expand_take(perm_dev: jax.Array, x: jax.Array) -> jax.Array:
 
 
 def _use_expand(n: int, dtype) -> bool:
+    import os
+
     from . import dispatch
-    return (dispatch.on_tpu() and n >= EXPAND_MIN_N
+    return (os.environ.get("TSGU_PERMUTE_EXPAND", "0") == "1"
+            and dispatch.on_tpu() and n >= EXPAND_MIN_N
+            and dtype in (jnp.float32, jnp.bfloat16))
+
+
+BENES_MIN_N = 1 << 20         # below this the flat take is cheap enough
+
+
+def _use_benes(n: int, dtype) -> bool:
+    """Route large TPU permutations through the Beneš exchange network
+    (kernels/benes.py): ~2·log2(N) streaming stages instead of one HBM
+    transaction per element.  ``TSGU_PERMUTE_BENES=0`` restores the flat
+    gather for A/B runs."""
+    import os
+
+    from . import dispatch
+    return (os.environ.get("TSGU_PERMUTE_BENES", "1") == "1"
+            and dispatch.on_tpu() and n >= BENES_MIN_N
             and dtype in (jnp.float32, jnp.bfloat16))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _permute(perm_sa, inv_sa, x):
+    if _use_benes(x.shape[0], x.dtype):
+        from . import benes
+        if benes.has_plan(perm_sa):
+            return benes.benes_permute(perm_sa, x)
     perm_dev = as_device_array(perm_sa.arr)
     if _use_expand(x.shape[0], x.dtype):
         return _expand_take(perm_dev, x)
@@ -218,8 +245,9 @@ def permute_values(perm_sa, x: jax.Array) -> jax.Array:
     """Differentiable static permutation ``out[i] = x[perm[i]]``.
 
     ``perm_sa``: a :class:`~..types.StaticArray` holding a permutation of
-    ``[0, len(x))``.  On TPU, large f32/bf16 streams ride the
-    expansion-gather route above; everything else takes the flat gather.
-    The VJP applies the inverse permutation by the same route.
+    ``[0, len(x))``.  Runs as one flat gather (the platform's per-entry
+    relayout floor; the expansion route measured no faster — see module
+    docstring); the value is the VJP, which applies the inverse
+    permutation by the same gather instead of autodiff's scatter-add.
     """
     return _permute(perm_sa, _perm_pair(perm_sa), x)

@@ -61,6 +61,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.benes_route.restype = ctypes.c_int
+        lib.benes_route.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8)]
         return lib
     except Exception:  # pragma: no cover - toolchain missing
         return None
@@ -215,6 +219,30 @@ def _color_bipartite_py(src, dst, R, d):
 
     split(np.arange(len(src), dtype=np.int64), int(d).bit_length() - 2)
     return colors
+
+
+def benes_route(perm: np.ndarray) -> Optional[np.ndarray]:
+    """Beneš exchange-stage masks for ``out[i] = x[perm[i]]``.
+
+    ``perm``: permutation of [0, n), n a power of two.  Returns
+    ``(2*log2(n) - 1, n)`` uint8 masks (stage order: distances n/2 ...
+    1 ... n/2; ``mask[s, i] == mask[s, i^d_s]``), or None without the
+    native library (kernels/benes.py holds the python test fallback).
+    """
+    n = len(perm)
+    if n < 2 or (n & (n - 1)) != 0:
+        return None
+    lib = _lib()
+    if lib is None:
+        return None
+    perm64 = np.ascontiguousarray(perm, np.int64)
+    k = int(n).bit_length() - 1
+    masks = np.empty((2 * k - 1, n), np.uint8)
+    if lib.benes_route(_ptr64(perm64), n,
+                       masks.ctypes.data_as(
+                           ctypes.POINTER(ctypes.c_uint8))) == 0:
+        return masks
+    return None
 
 
 def chunk_ranks(rows_padded: np.ndarray, C: int, n: int,

@@ -216,4 +216,68 @@ int color_bipartite(const int64_t* src, const int64_t* dst, int64_t nedges,
     return 0;
 }
 
+// Beneš-network routing (looping algorithm): factor an arbitrary
+// permutation of n = 2^k elements into 2k-1 conditional XOR-exchange
+// stages (distances n/2, n/4, ..., 1, ..., n/4, n/2).  masks_out is
+// (2k-1, n) row-major uint8; mask[s][i] == mask[s][i^d_s] and stage s
+// applies y[i] = mask ? y[i^d_s] : y[i].  The device side streams these
+// stages at HBM rate — the whole point: a static permutation becomes
+// ~2k oblivious streaming passes instead of nnz scattered transactions
+// (kernels/benes.py).  O(n log n) total; level-synchronous (no
+// recursion), one cycle walk per block per level.
+int benes_route(const int64_t* perm_in, int64_t n, uint8_t* masks_out) {
+    if (n < 2 || (n & (n - 1)) != 0) return -1;
+    int k = 0;
+    for (int64_t x = n; x > 1; x >>= 1) ++k;
+    std::vector<int64_t> pi(perm_in, perm_in + n), nxt(n), inv(n);
+    std::vector<int8_t> h(n);
+    int64_t s_in = 0, s_out = 2 * k - 2;
+    for (int64_t s = n; s > 2; s >>= 1, ++s_in, --s_out) {
+        const int64_t m = s >> 1;
+        for (int64_t lo = 0; lo < n; lo += s) {
+            int64_t* P = pi.data() + lo;
+            int64_t* INV = inv.data() + lo;
+            int8_t* H = h.data() + lo;
+            for (int64_t o = 0; o < s; ++o) INV[P[o]] = o;
+            std::memset(H, -1, s);
+            for (int64_t o0 = 0; o0 < s; ++o0) {
+                // walk the constraint cycle: alternate "shares an input
+                // pair" / "shares an output pair" partners, alternating
+                // halves as we go
+                int64_t o = o0;
+                int8_t hv = 0;
+                while (H[o] < 0) {
+                    H[o] = hv;
+                    const int64_t o2 = INV[P[o] ^ m];
+                    H[o2] = (int8_t)(1 - hv);
+                    o = o2 ^ m;   // out-pair partner keeps hv
+                }
+            }
+            uint8_t* MIN = masks_out + s_in * n + lo;
+            uint8_t* MOUT = masks_out + s_out * n + lo;
+            for (int64_t i = 0; i < m; ++i) {
+                const uint8_t sw = (uint8_t)H[INV[i]];
+                MIN[i] = sw;
+                MIN[i + m] = sw;
+            }
+            for (int64_t o = 0; o < m; ++o) {
+                const uint8_t sw = (uint8_t)H[o];
+                MOUT[o] = sw;
+                MOUT[o + m] = sw;
+            }
+            int64_t* N0 = nxt.data() + lo;
+            for (int64_t o = 0; o < s; ++o)
+                N0[(H[o] ? m : 0) + (o & (m - 1))] = P[o] & (m - 1);
+        }
+        std::swap(pi, nxt);
+    }
+    uint8_t* MB = masks_out + (int64_t)(k - 1) * n;
+    for (int64_t lo = 0; lo < n; lo += 2) {
+        const uint8_t sw = pi[lo] == 1 ? 1 : 0;
+        MB[lo] = sw;
+        MB[lo + 1] = sw;
+    }
+    return 0;
+}
+
 }  // extern "C"

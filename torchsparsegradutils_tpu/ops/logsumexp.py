@@ -375,9 +375,12 @@ def sparse_bidir_logsumexp(A: Union[SparseCOO, SparseCSR],
             if row_lse is not None else None
         if col_lse is not None:
             if output_layout == "padded":
-                padded = jnp.full((2, G), -jnp.inf, row_lse.dtype)
-                return padded.at[0, :ncols].set(col_lse).at[
-                    1, :nrows].set(row_lse)
+                ninf = jnp.array(-jnp.inf, row_lse.dtype)
+                return jnp.stack([
+                    jnp.pad(col_lse, (0, G - ncols),
+                            constant_values=ninf),
+                    jnp.pad(row_lse, (0, G - nrows),
+                            constant_values=ninf)])
             if keepdim:
                 return col_lse[None, :], row_lse[:, None]
             return col_lse, row_lse

@@ -153,7 +153,11 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
     # take with an inverse-gather VJP (the default scatter-add cotangent
     # costs ~25 ms per 3M entries on v5e; the inverse gather is ~1 ms)
     vals = plan.val_gather(data).astype(dtype)
-    Bp = jnp.zeros((n_pad, p), dtype).at[:n].set(B)
+    # pad, not .at[:n].set: the basic-slice scatter's empty dynamic-index
+    # tuple becomes a (0,) int32 host constant that
+    # JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS=1 hoists as a const arg and then
+    # rejects ("TypedNdArray has no attribute sharding", jax 0.9.0)
+    Bp = jnp.pad(B, ((0, n_pad - n), (0, 0)))
     B_blocks = Bp.reshape(nblk, nb, p)
     cols_xs = as_device_array(plan.ell_cols)
     offs = jnp.arange(nblk, dtype=jnp.int32) * nb
@@ -191,21 +195,42 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
 # level-scheduled wave solve
 # --------------------------------------------------------------------------
 
+BENES_TABLE_MIN = 1 << 20
+
+
 def _make_val_gather(sel: np.ndarray, nnz: int):
     """``take(data_ext, sel)`` whose VJP is a pure inverse gather.
 
     Each data entry occupies at most one table slot, so the cotangent is
     ``d_data[e] = ct_flat[pos(e)]`` — one static gather instead of XLA's
     default scatter-add over the (much larger) table (measured ~25 ms per
-    3M-entry scatter on v5e; the gather is ~1 ms)."""
+    3M-entry scatter on v5e; the gather is ~1 ms).
+
+    Large tables on TPU route through the Beneš exchange network
+    (``kernels/benes.py``) instead of the flat take: the per-scalar
+    gather costs one HBM transaction per TABLE SLOT (measured 35 ms for
+    the 5.3M-slot cfd2-factor ELL table at nb=128 — the dominant term of
+    the round-4 triangular-solve backward), while the network streams.
+    ``TSGU_TRI_BENES=0`` restores the flat take for A/B runs."""
     flat = sel.reshape(-1).astype(np.int64)
     pos = np.full(nnz + 1, flat.size, np.int64)
     pos[flat] = np.arange(flat.size)
     inv_pos = pos[:nnz].astype(np.int32)
     shape = sel.shape
+    sel_sa = StaticArray(np.ascontiguousarray(sel))
+
+    def _benes_ok(dtype) -> bool:
+        from ..kernels import benes, dispatch
+        return (os.environ.get("TSGU_TRI_BENES", "1") == "1"
+                and dispatch.on_tpu() and flat.size >= BENES_TABLE_MIN
+                and dtype in (jnp.float32, jnp.bfloat16)
+                and benes.has_gather_plan(sel_sa, nnz))
 
     @jax.custom_vjp
     def f(data):
+        if _benes_ok(data.dtype):
+            from ..kernels import benes
+            return benes.benes_gather(sel_sa, nnz, data)
         ext = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
         return jnp.take(ext, as_device_array(sel).reshape(-1)
                         ).reshape(shape)
@@ -214,6 +239,9 @@ def _make_val_gather(sel: np.ndarray, nnz: int):
         return f(data), None
 
     def bwd(_, ct):
+        if _benes_ok(ct.dtype):
+            from ..kernels import benes
+            return (benes.benes_gather_t(sel_sa, nnz, ct),)
         flat_ct = jnp.concatenate([ct.reshape(-1),
                                    jnp.zeros((1,), ct.dtype)])
         return (jnp.take(flat_ct, as_device_array(inv_pos)),)
@@ -515,11 +543,25 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         raise ValueError(
             "sparse_triangular_solve: algorithm='dia' requires a "
             "diagonal-structured (banded) static pattern")
+    swap = False
     if transpose:
-        # Aᵀ x = B: solve on the transposed pattern with the flipped triangle
-        return _tri_forward_2d(A.T, B, upper=not upper, unit=unit,
-                               transpose=False, algorithm=algorithm,
-                               block_size=block_size)
+        # Aᵀ x = B: solve with the flipped triangle on the transposed
+        # pattern.  Static patterns do this WITHOUT materialising A.T —
+        # the scheduling plans below are built from per-entry (row, col)
+        # index arrays, so swapping the two arrays host-side makes every
+        # plan table (diag scatter, ELL value gather) index the ORIGINAL
+        # data directly.  The old ``A.T`` route paid a runtime CSC value
+        # permutation (~20 ms at 1.5M nnz on v5e) on every backward pass
+        # of the non-transpose solve; the composed plan pays nothing.
+        static = A.pattern_static or not isinstance(
+            A.rows() if isinstance(A, SparseCOO) else A.indptr_arr(),
+            jax.core.Tracer)
+        if algorithm == "dense" or not static:
+            return _tri_forward_2d(A.T, B, upper=not upper, unit=unit,
+                                   transpose=False, algorithm=algorithm,
+                                   block_size=block_size)
+        swap = True
+        upper = not upper
     n = A.shape[0]
     use_dense = algorithm == "dense" or not (
         A.pattern_static or not isinstance(
@@ -557,8 +599,8 @@ def _tri_forward_2d(A, B, *, upper: bool, unit: bool, transpose: bool,
         nb = 512
     else:
         nb = min(128, max(8, 1 << (n - 1).bit_length() if n < 128 else 128))
-    rows = StaticArray(np.asarray(A.rows_np()))
-    cols = StaticArray(np.asarray(A.cols_np()))
+    rows = StaticArray(np.asarray(A.cols_np() if swap else A.rows_np()))
+    cols = StaticArray(np.asarray(A.rows_np() if swap else A.cols_np()))
     if algorithm in ("auto", "wave") and n > 256:
         # level-scheduled wavefront: sequential depth = dependency-level
         # depth, not n/nb.  Worth it when packing shortens the chain

@@ -176,8 +176,7 @@ def _scs_bwd(plan, mesh, axis, res, g):
     data, B = res
     rps, m, S = plan.rows_per_shard, plan.m, plan.n_shards
     p = B.shape[1]
-    g_pad = jnp.zeros((S * rps, p), g.dtype).at[:plan.n, :].set(
-        g[:, :p])
+    g_pad = jnp.pad(g[:, :p], ((0, S * rps - plan.n), (0, 0)))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(axis), P(axis), P(axis), P(), P()),

@@ -130,10 +130,10 @@ def make_train_step(enc: PairwiseEncoder, mesh: Mesh, lr: float = 1e-2):
         from .sharding import local_shard_spmm
         y_local = local_shard_spmm(lr_, c_, d_, E, rps)
         # add the identity term (I + L)^T: local rows of E
-        E_pad = jnp.zeros((n_pad, E.shape[1]), E.dtype).at[:n].set(E)
+        E_pad = jnp.pad(E, ((0, n_pad - n), (0, 0)))
         E_slab = jax.lax.dynamic_slice_in_dim(E_pad, shard_id * rps, rps)
         y_local = y_local + E_slab
-        D_pad = jnp.zeros((n_pad,), D.dtype).at[:n].set(D)
+        D_pad = jnp.pad(D, (0, n_pad - n))
         D_slab = jax.lax.dynamic_slice_in_dim(D_pad, shard_id * rps, rps)
         quad_local = (D_slab[:, None] * y_local * y_local).sum(0)  # (S_l,)
         quad = jax.lax.psum(quad_local, "tp")      # full per-sample quad

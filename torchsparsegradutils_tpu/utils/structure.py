@@ -87,8 +87,22 @@ def coo_to_csr_indices_values(coo: SparseCOO):
 
 
 def _permute_data(data: jax.Array, perm: np.ndarray, n_batch: int) -> jax.Array:
-    """Apply a (possibly batched) static permutation along the nnz axis."""
+    """Apply a (possibly batched) static permutation along the nnz axis.
+
+    Unbatched f32/bf16 streams ride ``kernels.shuffle.permute_values``:
+    same flat gather forward (the per-entry relayout floor — the
+    expansion-gather alternative measured no faster, see shuffle.py),
+    but the VJP is the inverse permutation by the same gather instead of
+    autodiff's unsorted scatter-add (~25 ms at 3M entries on v5e).  This
+    is the value reorder behind ``coo_to_csr`` and every container
+    transpose."""
     if perm.ndim == 1:
+        if data.ndim == 1 and data.dtype in (jnp.float32, jnp.bfloat16):
+            from ..kernels.shuffle import permute_values
+            from ..types import StaticArray
+            return permute_values(
+                StaticArray(np.ascontiguousarray(perm.astype(np.int64))),
+                data)
         return jnp.take(data, jnp.asarray(perm), axis=-1)
     # batched perm: data (*B, nnz), perm (*Bp, nnz) with Bp == B
     perm_b = jnp.broadcast_to(jnp.asarray(perm), data.shape)
