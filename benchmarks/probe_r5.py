@@ -32,9 +32,11 @@ import sys
 import numpy as np
 
 ALL = [
-    "spmm_core_arg", "spmm_core_const", "sddmm_core_arg",
+    "spmm_core_arg", "spmm_core_arg_bf16", "spmm_core_const",
+    "sddmm_core_arg",
     "reorder_take", "reorder_expand", "expand_write", "gather_rows_only",
     "permute_lib", "benes", "benes_bwd",
+    "hybrid_fwd", "hybrid_bwd", "hybrid_resid_bwd", "hybrid_dia_bwd",
 ]
 
 N_ROWS = 123_440
@@ -115,7 +117,8 @@ def main():
     eps = jnp.float32(1e-12)
 
     def run(name):
-        if name in ("spmm_core_arg", "spmm_core_const", "sddmm_core_arg"):
+        if name in ("spmm_core_arg", "spmm_core_arg_bf16",
+                    "spmm_core_const", "sddmm_core_arg"):
             from torchsparsegradutils_tpu.kernels.dia import (
                 _spmm_core, build_dia_plan, dia_sddmm, values_to_grid)
             from torchsparsegradutils_tpu.kernels.dia_mxu import (
@@ -128,13 +131,20 @@ def main():
                                   jnp.float32)
             G = jax.random.normal(jax.random.fold_in(key, 2), (n, M_RHS),
                                   jnp.float32)
-            if name == "spmm_core_arg":
+            if name in ("spmm_core_arg", "spmm_core_arg_bf16"):
                 # bench.py's prepare pattern: grid enters as a traced
-                # argument, bf16 splits hoisted out of the loop
+                # argument, bf16 splits hoisted out of the loop.  The
+                # bf16 variant measures the 1-MXU-pass storage fast path
+                # (core floor 0.123 ms at cfd2 scale) — everything above
+                # that is per-sub-tile overhead.
+                if name.endswith("bf16"):
+                    A = A.with_data(A.data.astype(jnp.bfloat16))
+                    B = B.astype(jnp.bfloat16)
+
                 def prep(d):
                     gv = values_to_grid(plan, d)
                     gs = split_grid_for_mxu(gv)
-                    return lambda b: b + eps * _spmm_core(
+                    return lambda b: b + eps.astype(b.dtype) * _spmm_core(
                         plan.offsets, plan.n, plan.m, gv, b, gv_splits=gs)
 
                 ms, cs = chain(None, B, prepare=prep, prep_args=(A.data,))
@@ -149,6 +159,70 @@ def main():
                         dia_sddmm(plan, x, B).sum(), ())
 
                 ms, cs = chain(None, G, prepare=prep, prep_args=(G,))
+            report(name, ms, note=f"compile {cs:.0f}s")
+            return
+
+        if name.startswith("hybrid_"):
+            # hybrid70 step breakdown (VERDICT r4 item 8: the measured
+            # 50 ms step vs its ~30 ms component budget).  Operands are
+            # threaded as traced arguments (prepare) — training
+            # conditions, nothing folds.
+            from torchsparsegradutils_tpu.kernels.dia import (
+                _dia_sddmm_grid, _resid_chunk_plans, _spmm_core,
+                _transpose_grid, build_dia_plan, dia_bwd_pair, dia_spmm,
+                grid_to_values, resid_values, values_to_grid)
+            from torchsparsegradutils_tpu.utils.random_sparse import (
+                hybrid_sparse)
+            # cap nnz so 70 % fits the diagonal capacity at --small scale
+            nnz_h = min(nnz, int(0.8 * n * len(offsets) / 0.7))
+            A = hybrid_sparse(key, (n, n), offsets, nnz_h,
+                              dia_coverage=0.7, layout="csr")
+            plan = build_dia_plan(A.row_sa(), A.col_sa(), n, n)
+            assert plan is not None and plan.is_hybrid
+            B = jax.random.normal(jax.random.fold_in(key, 1), (n, M_RHS),
+                                  jnp.float32)
+            G = jax.random.normal(jax.random.fold_in(key, 2), (n, M_RHS),
+                                  jnp.float32)
+            if name == "hybrid_fwd":
+                def prep(d):
+                    return lambda b: b + eps * dia_spmm(plan, d, b)
+                ms, cs = chain(None, B, prepare=prep, prep_args=(A.data,))
+            elif name == "hybrid_bwd":
+                def prep(d, b):
+                    def stepf(g):
+                        dd, db = dia_bwd_pair(plan, d, b, g)
+                        return g + eps * (dd.sum() + db.sum())
+                    return stepf
+                ms, cs = chain(None, G, prepare=prep,
+                               prep_args=(A.data, B))
+            elif name == "hybrid_resid_bwd":
+                from torchsparsegradutils_tpu.kernels.chunk_spmm import (
+                    chunk_spmm_bwd_fused)
+                rp, rpt = _resid_chunk_plans(plan)
+
+                def prep(d, b):
+                    rv = resid_values(plan, d)
+
+                    def stepf(g):
+                        dd, db = chunk_spmm_bwd_fused(rp, rpt, rv, b, g)
+                        return g + eps * (dd.sum() + db.sum())
+                    return stepf
+                ms, cs = chain(None, G, prepare=prep,
+                               prep_args=(A.data, B))
+            else:  # hybrid_dia_bwd: the pure-DIA terms of the pair
+                def prep(d, b):
+                    gv = values_to_grid(plan, d)
+                    offsets_T, shift = _transpose_grid(plan)
+                    gs = shift(gv)
+
+                    def stepf(g):
+                        dd = grid_to_values(
+                            plan, _dia_sddmm_grid(plan, g, b))
+                        db = _spmm_core(offsets_T, plan.m, plan.n, gs, g)
+                        return g + eps * (dd.sum() + db.sum())
+                    return stepf
+                ms, cs = chain(None, G, prepare=prep,
+                               prep_args=(A.data, B))
             report(name, ms, note=f"compile {cs:.0f}s")
             return
 

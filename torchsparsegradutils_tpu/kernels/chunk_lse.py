@@ -151,11 +151,11 @@ def lse_fn_transposed(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
     """Column-wise LSE = row-wise LSE of the transpose: returns
     ``(fn, reorder)`` where ``fn(reorder(data))`` gives the (m,) result,
     or None.  ``reorder`` moves values to CSC order through
-    :func:`..kernels.shuffle.permute_values` — on TPU the expansion-
-    gather route (values ride 128-lane rows; ~4 streaming passes instead
-    of ~19-22 ms of per-scalar gather ops at 3M values), with the
-    inverse permutation as its VJP (the autodiff default would be an
-    unsorted scatter)."""
+    :func:`..kernels.shuffle.permute_values` — on TPU the Beneš
+    exchange network (kernels/benes.py: streamed stages instead of
+    ~21 ms of per-scalar gather ops at 3M values), with the inverse
+    permutation as its VJP (the autodiff default would be an unsorted
+    scatter)."""
     from .. import native
     from .grid_lse import grid_lse_fn
     from .shuffle import permute_values

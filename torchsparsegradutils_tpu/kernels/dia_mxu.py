@@ -558,6 +558,13 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
                      for b in range(nb)], axis=1).astype(jnp.bfloat16)
             return g
 
+        # TSGU_MXU_PERF_VARIANT (probe-only, WRONG MATH): 'nogather'
+        # replaces the banded-operand lane gathers with a broadcast
+        # (keeps the bf16 casts + dots), 'nodot' replaces the MXU
+        # contractions with a cheap slice-add (keeps the gathers) —
+        # isolates where the core's time over its MXU-pass floor goes.
+        variant = os.environ.get("TSGU_MXU_PERF_VARIANT", "none")
+
         def body(sub, _):
             vts = [jnp.pad(vr[pl.ds(sub * LANE, LANE), :],
                            ((0, 0), (0, LANE - K))) for vr in v_refs]
@@ -567,8 +574,18 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
                     Ms = {}
                     for (iv, jb) in pairs:
                         if iv not in Ms:
-                            Ms[iv] = gather_m(iv, c)(vts[iv])  # (128, Wd)
+                            if variant == "nogather":
+                                Ms[iv] = jnp.broadcast_to(
+                                    vts[iv][:, :1], (LANE, Wd)
+                                ).astype(jnp.bfloat16)
+                            else:
+                                Ms[iv] = gather_m(iv, c)(vts[iv])  # (128, Wd)
                         win = halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
+                        if variant == "nodot":
+                            acc = acc + Ms[iv][:, :LANE].astype(
+                                jnp.float32) + win[:LANE, :].astype(
+                                jnp.float32)
+                            continue
                         acc = acc + jax.lax.dot_general(
                             Ms[iv], win, _DN_NT,
                             preferred_element_type=jnp.float32)
