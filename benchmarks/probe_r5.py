@@ -27,6 +27,7 @@ Three clusters of questions, one probe per process
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -37,6 +38,7 @@ ALL = [
     "reorder_take", "reorder_expand", "expand_write", "gather_rows_only",
     "permute_lib", "benes", "benes_bwd",
     "hybrid_fwd", "hybrid_bwd", "hybrid_resid_bwd", "hybrid_dia_bwd",
+    "random_bwd",
 ]
 
 N_ROWS = 123_440
@@ -160,6 +162,36 @@ def main():
 
                 ms, cs = chain(None, G, prepare=prep, prep_args=(G,))
             report(name, ms, note=f"compile {cs:.0f}s")
+            return
+
+        if name == "random_bwd":
+            # pure-chunk backward pair on the uniform random pattern
+            # (TSGU_SPMM_BWD selects fused / split): the d_data + d_B
+            # cost of the mm-suite random fwd_bwd row minus the forward
+            from torchsparsegradutils_tpu.kernels.chunk_spmm import (
+                chunk_gather)
+            from torchsparsegradutils_tpu.ops.spmm import (
+                _chunk_plan, _spmm_bwd_pair)
+            from torchsparsegradutils_tpu.utils import rand_sparse
+            A = rand_sparse(key, (n, n), nnz, layout="csr")
+            B = jax.random.normal(jax.random.fold_in(key, 1), (n, M_RHS),
+                                  jnp.float32)
+            G = jax.random.normal(jax.random.fold_in(key, 2), (n, M_RHS),
+                                  jnp.float32)
+            plan = _chunk_plan(A, "pallas")
+
+            def prep(d, b):
+                pg = chunk_gather(plan, b)
+
+                def stepf(g):
+                    dd, db = _spmm_bwd_pair("pallas", "exact",
+                                            A.with_data(d), b, g, pg)
+                    return g + eps * (dd.sum() + db.sum())
+                return stepf
+
+            ms, cs = chain(None, G, prepare=prep, prep_args=(A.data, B))
+            report(name, ms, note=f"compile {cs:.0f}s "
+                   f"mode={os.environ.get('TSGU_SPMM_BWD', 'fused')}")
             return
 
         if name.startswith("hybrid_"):

@@ -150,6 +150,34 @@ def test_bidir_matches_two_calls(key, layout, include_zeros):
                       rtol=1e-6)
 
 
+@pytest.mark.parametrize("include_zeros", [False, True])
+def test_bidir_fused_pallas(key, layout, include_zeros):
+    # the fused single-traversal path (kernels/grid_lse.py:bidir_grid_fns)
+    # runs in interpret mode under backend="pallas": forward equivalence
+    # to the two-call reference AND gradient parity through both outputs
+    sp = rand_sparse(key, (33, 21), 140, layout=layout)
+    col_lse, row_lse = sparse_bidir_logsumexp(
+        sp, include_zeros=include_zeros, backend="pallas")
+    _assert_close_inf(col_lse,
+                      sparse_logsumexp(sp, 0, include_zeros=include_zeros,
+                                       backend="xla"), rtol=1e-6)
+    _assert_close_inf(row_lse,
+                      sparse_logsumexp(sp, 1, include_zeros=include_zeros,
+                                       backend="xla"), rtol=1e-6)
+
+    def loss(d, backend):
+        c, r = sparse_bidir_logsumexp(sp.with_data(d),
+                                      include_zeros=include_zeros,
+                                      backend=backend)
+        return (jnp.where(jnp.isfinite(c), c, 0.0).sum()
+                + 2.0 * jnp.where(jnp.isfinite(r), r, 0.0).sum())
+
+    g_fused = jax.grad(loss)(sp.data, "pallas")
+    g_ref = jax.grad(loss)(sp.data, "xla")
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_bidir_batched(key, layout):
     sp = rand_sparse(key, (3, 6, 9), 11, layout=layout)
     col_lse, row_lse = sparse_bidir_logsumexp(sp)

@@ -633,6 +633,14 @@ def _resid_engine() -> str:
     return os.environ.get("TSGU_RESID_ENGINE", "auto")
 
 
+def _spmm_bwd_mode() -> str:
+    """Chunk-path spmm backward: ``fused`` (one pass emitting SDDMM
+    values + V rows, then a column-order V row-sum) or ``split``
+    (chunk_sddmm + transpose chunk_spmm over Beneš-permuted values —
+    no (nnz, p) V materialisation).  Round-5 A/B knob."""
+    return os.environ.get("TSGU_SPMM_BWD", "fused")
+
+
 @lru_cache(maxsize=64)
 def _resid_chunk_plans(plan: DiaPlan):
     """(row plan, column-sorted transpose plan) for the residual
@@ -772,10 +780,21 @@ def dia_bwd_pair(plan: DiaPlan, data, B, g, gv=None, fast: bool = False):
     if plan.is_hybrid:
         rv = resid_values(plan, data)
         if use_chunk:
-            from .chunk_spmm import chunk_spmm_bwd_fused
             rp, rpt = _resid_chunk_plans(plan)
-            d_rv, d_B_r = chunk_spmm_bwd_fused(rp, rpt, rv, B, g, pg=pg_r,
-                                               fast=fast)
+            if _spmm_bwd_mode() == "split":
+                # split backward (round 5): the CSC value permutation
+                # that motivated the fused V-row pass now streams
+                # through the Beneš network (~1.6 ms / 3M values vs the
+                # ~21 ms flat gather) — so d_B can run as a plain
+                # transpose chunk SpMM on permuted values, skipping the
+                # (nnz, p) V materialisation + random V-row re-gather
+                from .chunk_spmm import chunk_sddmm, chunk_spmm
+                d_rv = chunk_sddmm(rp, g, B, pg=pg_r)
+                d_B_r = chunk_spmm(rpt, rv, g)
+            else:
+                from .chunk_spmm import chunk_spmm_bwd_fused
+                d_rv, d_B_r = chunk_spmm_bwd_fused(rp, rpt, rv, B, g,
+                                                   pg=pg_r, fast=fast)
         else:
             d_rv = _resid_sddmm(plan, g, B)
             d_B_r = _resid_spmm_t(plan, rv, g)

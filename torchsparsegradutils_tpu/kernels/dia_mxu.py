@@ -100,6 +100,14 @@ def _body_mode() -> str:
     * ``pair``: one k=C·(E+128) contraction per pass pair — 2.085 ms
       (the VERDICT-r4 suggested fix; the per-sub-tile VMEM copy
       assembling the concatenated window eats the fewer-matmuls win).
+    * ``f32dot``: no pre-splits at all — ONE f32 halo, f32 banded
+      operands, and ``dot_general(..., precision=HIGHEST)`` so Mosaic
+      runs its own bf16x6 decomposition inside the MXU pipeline.
+      Motivated by the round-5 ``nogather``/``nodot`` probes (1.815 /
+      1.821 ms vs full 1.953): neither the gathers nor the dots are the
+      critical path — the split/roll/window machinery is, and this mode
+      deletes two thirds of it (one halo instead of three, no split
+      arithmetic, one gather+pad per cluster instead of three).
 
     The knob stays for future hardware.  sddmm: tree 1.670 / pair 1.644
     (legacy body not separately chained there; parts still tree-combine).
@@ -121,6 +129,8 @@ def _tree_sum(parts):
 def _nsplits(dtype, prec: str) -> int:
     if dtype == jnp.bfloat16:
         return 1
+    if _body_mode() == "f32dot":
+        return 1          # Mosaic decomposes inside the dot (HIGHEST)
     return 2 if prec == "fast" else 3
 
 
@@ -210,7 +220,8 @@ def plan_clusters(offsets: np.ndarray):
 
 
 def _geometry(clusters, E: int, n: int, m: int, nsb: int, item_b: int,
-              n_tables: int = 1, n_val_inputs: int = 3):
+              n_tables: int = 1, n_val_inputs: int = 3, halo_item: int = 2,
+              fresh: bool = False):
     """Rolling-window geometry: tile size, halo span, clipping to n.
     Tile i's halo holds source rows ``[i*R_T + min_st, i*R_T + min_st +
     H)``; cluster c's window for sub-tile ``s`` starts ``coff_c +
@@ -227,11 +238,19 @@ def _geometry(clusters, E: int, n: int, m: int, nsb: int, item_b: int,
     span = -(-(max_st + E - min_st) // LANE) * LANE
     nb = E // LANE + 1
     n_cap = -(-n // LANE) * LANE
-    for R_T in (4096, 3072, 2048, 1536, 1024, 768, 512, 384, 256, 128):
+    # 8192/6144 first: under a single halo they fit the budget at cfd2
+    # scale — half the streaming steps (roll traffic ∝ steps)
+    for R_T in (8192, 6144, 4096, 3072, 2048, 1536, 1024, 768, 512, 384,
+                256, 128):
         R_T = min(R_T, max(LANE, n_cap))
         H = R_T + span
-        vmem = (nsb * H * LANE * 2                  # bf16 halos (scratch)
-                + 2 * R_T * LANE * item_b           # staging double buffer
+        if fresh:
+            # double-buffered full window, no staging, no split halos
+            stream = 2 * H * LANE * halo_item
+        else:
+            stream = (nsb * H * LANE * halo_item    # split halos
+                      + 2 * R_T * LANE * item_b)    # staging double buffer
+        vmem = (stream
                 + 2 * R_T * LANE * item_b           # out block, 2 buffers
                 + 2 * n_val_inputs * R_T * LANE * 4  # value/x inputs, f32
                 + 2 * n_tables * C * nb * LANE * LANE * 4)
@@ -462,14 +481,122 @@ def _emit_halo_stream(i, hbm, staging, sems, halos, cfg):
 
     @pl.when(i > 0)
     def _():
-        _roll(halos, span, R_T)
+        if os.environ.get("TSGU_MXU_PERF_VARIANT") != "noroll":
+            _roll(halos, span, R_T)
         _split_append(halos, span, staging, slot, R_T)
 
 
-def _halo_scratch(nsb: int, H: int, staging_dtype, R_T: int):
-    return ([pltpu.VMEM((H, LANE), jnp.bfloat16) for _ in range(nsb)]
+def _halo_scratch(nsb: int, H: int, staging_dtype, R_T: int,
+                  halo_dtype=jnp.bfloat16):
+    return ([pltpu.VMEM((H, LANE), halo_dtype) for _ in range(nsb)]
             + [pltpu.VMEM((2, R_T, LANE), staging_dtype),
                pltpu.SemaphoreType.DMA((2,))])
+
+
+def _fresh_ok(nsb: int, halo_dtype, stream_dtype) -> bool:
+    """Fresh-window streaming applies when the source stream needs no
+    per-row conversion (one halo whose dtype equals the stream's):
+    f32dot mode, bf16 storage, and mixed f32-values x bf16-B.
+    ``TSGU_MXU_STREAM=roll`` restores the rolling-halo machinery."""
+    return (nsb == 1 and halo_dtype == stream_dtype
+            and os.environ.get("TSGU_MXU_STREAM", "fresh") == "fresh")
+
+
+def _fresh_scratch(H: int, halo_dtype):
+    return [pltpu.VMEM((2, H, LANE), halo_dtype),
+            pltpu.SemaphoreType.DMA((2,))]
+
+
+# --------------------------------------------------------------------------
+# fresh-window streaming (round 5): the no-roll, no-split source stream
+# --------------------------------------------------------------------------
+#
+# The `empty` probe (round 5, v5e) measured the rolling-halo machinery
+# ALONE at 1.243 ms at cfd2 scale — 64 % of the legacy f32 core's
+# 1.953 ms, ~12x the 63 MB payload's HBM time.  When the source needs no
+# bf16 splitting (f32dot mode, or bf16 storage: one halo whose dtype
+# equals the stream's), the whole staging+roll+split pipeline is
+# replaced by a double-buffered FULL-window DMA: step i re-reads the
+# span-row overlap from HBM (span/R_T = +60 % of B's bytes at cfd2
+# geometry — ~0.06 ms) and pays zero VMEM copy traffic.
+
+def _fresh_cfg(R_T: int, span: int, ntiles: int, min_st: int, m: int):
+    """Static per-step schedule: window i covers source rows
+    [i*R_T + min_st, i*R_T + min_st + H).  Full steps DMA H rows;
+    boundary steps DMA the valid middle and zero head/tail."""
+    H = R_T + span
+    boundary = {}
+    full = []
+    for i in range(ntiles):
+        a = i * R_T + min_st
+        lo, hi = max(a, 0), min(a + H, m)
+        lv = max(0, hi - lo)
+        zh = (lo - a) if lv else 0
+        if lv == H:
+            full.append(i)
+        else:
+            boundary[i] = (zh, lv)
+    if full:
+        i0f, i1f = full[0], full[-1] + 1
+        assert full == list(range(i0f, i1f)), "fresh schedule not contiguous"
+    else:
+        i0f = i1f = 0
+    return {"R_T": R_T, "span": span, "H": H, "min_st": min_st,
+            "i0f": i0f, "i1f": i1f, "boundary": boundary}
+
+
+def _emit_fresh_window(i, hbm, win, sems, cfg):
+    """One grid step: wait on this step's window DMA (started by the
+    previous step or, for i==0, right here), zero its out-of-range rows,
+    and prefetch the next step's window into the other buffer."""
+    R_T, H, min_st = cfg["R_T"], cfg["H"], cfg["min_st"]
+    i0f, i1f, boundary = cfg["i0f"], cfg["i1f"], cfg["boundary"]
+    two = jnp.int32(2)
+    slot = jax.lax.rem(i, two)
+    nxt = jax.lax.rem(i + 1, two)
+
+    def dma(st, buf, zh, lv):
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(st * R_T + min_st + zh, lv), :],
+            win.at[buf, pl.ds(zh, lv), :], sems.at[buf])
+
+    def start(st, buf):
+        if i1f > i0f:
+            @pl.when(jnp.logical_and(st >= i0f, st < i1f))
+            def _():
+                dma(st, buf, 0, H).start()
+        for b, (zh, lv) in boundary.items():
+            if lv:
+                @pl.when(st == b)
+                def _(b=b, zh=zh, lv=lv):
+                    dma(b, buf, zh, lv).start()
+
+    def wait(st, buf):
+        if i1f > i0f:
+            @pl.when(jnp.logical_and(st >= i0f, st < i1f))
+            def _():
+                dma(st, buf, 0, H).wait()
+        for b, (zh, lv) in boundary.items():
+            if lv:
+                @pl.when(st == b)
+                def _(b=b, zh=zh, lv=lv):
+                    dma(b, buf, zh, lv).wait()
+
+    @pl.when(i == 0)
+    def _():
+        start(i, slot)
+    wait(i, slot)
+    # zero out-of-range rows of boundary windows (head before the first
+    # source row / tail past the last) — done after the wait so the DMA
+    # cannot overwrite the zeros
+    for b, (zh, lv) in boundary.items():
+        @pl.when(i == b)
+        def _(b=b, zh=zh, lv=lv):
+            if zh:
+                _zero_staging(win, slot, 0, zh)
+            if zh + lv < H:
+                _zero_staging(win, slot, zh + lv, H - zh - lv)
+    start(i + 1, nxt)
 
 
 def _dma_cfg(R_T, span, ntiles, min_st, m):
@@ -506,10 +633,18 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
         return None
     clusters, E = planned
     prec = _prec()
+    f32dot = (_body_mode() == "f32dot" and grid_v.dtype == jnp.float32
+              and B.dtype == jnp.float32)
     nsv = _nsplits(grid_v.dtype, prec)
     nsb = _nsplits(B.dtype, prec)
+    halo_dtype = jnp.float32 if f32dot else jnp.bfloat16
+    op_dtype = jnp.float32 if f32dot else jnp.bfloat16
+    dot_prec = (jax.lax.Precision.HIGHEST if prec == "exact"
+                else jax.lax.Precision.HIGH) if f32dot else None
+    fresh = _fresh_ok(nsb, halo_dtype, B.dtype)
     geo = _geometry(clusters, E, n, m, nsb, B.dtype.itemsize,
-                    n_val_inputs=nsv)
+                    n_val_inputs=nsv,
+                    halo_item=jnp.dtype(halo_dtype).itemsize, fresh=fresh)
     if geo is None:
         return None
     R_T, span, ntiles, min_st, coffs = geo
@@ -530,7 +665,8 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
         gv_splits = tuple(jnp.pad(g, ((0, n_pad - n), (0, 0)))
                           for g in gv_splits)
     idx_np = _m_gather_idx(clusters, offsets, E)
-    cfg = _dma_cfg(R_T, span, ntiles, min_st, m_eff)
+    cfg = (_fresh_cfg(R_T, span, ntiles, min_st, m_eff) if fresh
+           else _dma_cfg(R_T, span, ntiles, min_st, m_eff))
     pairs = _pass_pairs(nsv, nsb)
 
     def kernel(*refs):
@@ -538,11 +674,17 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
         v_refs = refs[1:1 + nsv]
         b_hbm = refs[1 + nsv]
         out_ref = refs[2 + nsv]
-        halos = list(refs[3 + nsv:3 + nsv + nsb])
-        staging = refs[3 + nsv + nsb]
-        sems = refs[4 + nsv + nsb]
         i = pl.program_id(0)
-        _emit_halo_stream(i, b_hbm, staging, sems, halos, cfg)
+        if fresh:
+            win = refs[3 + nsv]
+            sems = refs[4 + nsv]
+            _emit_fresh_window(i, b_hbm, win, sems, cfg)
+            halos = [win.at[jax.lax.rem(i, jnp.int32(2))]]
+        else:
+            halos = list(refs[3 + nsv:3 + nsv + nsb])
+            staging = refs[3 + nsv + nsb]
+            sems = refs[4 + nsv + nsb]
+            _emit_halo_stream(i, b_hbm, staging, sems, halos, cfg)
         idx_v = idx_ref[...]
 
         mode = _body_mode()
@@ -551,11 +693,12 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
 
         def gather_m(iv, c):
             # gather in 32-bit (Mosaic lane-gather width), then the
-            # lossless bf16 narrowing
+            # lossless bf16 narrowing (f32dot keeps f32: Mosaic
+            # decomposes inside the HIGHEST-precision dot)
             def g(vt):
                 return jnp.concatenate(
                     [jnp.take_along_axis(vt, idx_v[c, b], axis=1)
-                     for b in range(nb)], axis=1).astype(jnp.bfloat16)
+                     for b in range(nb)], axis=1).astype(op_dtype)
             return g
 
         # TSGU_MXU_PERF_VARIANT (probe-only, WRONG MATH): 'nogather'
@@ -566,9 +709,14 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
         variant = os.environ.get("TSGU_MXU_PERF_VARIANT", "none")
 
         def body(sub, _):
+            if variant == "empty":
+                # streaming-machinery floor: halo DMA/roll/split only
+                out_ref[pl.ds(sub * LANE, LANE), :] = jnp.zeros(
+                    (LANE, LANE), out_ref.dtype)
+                return 0
             vts = [jnp.pad(vr[pl.ds(sub * LANE, LANE), :],
                            ((0, 0), (0, LANE - K))) for vr in v_refs]
-            if mode == "legacy":
+            if mode in ("legacy", "f32dot"):
                 acc = jnp.zeros((LANE, LANE), jnp.float32)
                 for c in range(C):
                     Ms = {}
@@ -577,10 +725,12 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
                             if variant == "nogather":
                                 Ms[iv] = jnp.broadcast_to(
                                     vts[iv][:, :1], (LANE, Wd)
-                                ).astype(jnp.bfloat16)
+                                ).astype(op_dtype)
                             else:
                                 Ms[iv] = gather_m(iv, c)(vts[iv])  # (128, Wd)
-                        win = halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
+                        woff = 0 if variant == "nowin" else (
+                            coffs[c] + sub * LANE)
+                        win = halos[jb][pl.ds(woff, Wd), :]
                         if variant == "nodot":
                             acc = acc + Ms[iv][:, :LANE].astype(
                                 jnp.float32) + win[:LANE, :].astype(
@@ -588,7 +738,8 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
                             continue
                         acc = acc + jax.lax.dot_general(
                             Ms[iv], win, _DN_NT,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=dot_prec)
             elif mode == "pair":
                 # one k = C*Wd contraction per pass pair: the C cluster
                 # operands concatenate along the contraction axis (M side
@@ -636,7 +787,9 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
             out_specs=pl.BlockSpec((R_T, LANE), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, LANE), B.dtype),
-            scratch_shapes=_halo_scratch(nsb, H, B.dtype, R_T),
+            scratch_shapes=(_fresh_scratch(H, halo_dtype) if fresh else
+                            _halo_scratch(nsb, H, B.dtype, R_T,
+                                          halo_dtype)),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=_interpret(),
@@ -675,10 +828,17 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
         return None
     clusters, E = planned
     prec = _prec()
+    f32dot = (_body_mode() == "f32dot" and X.dtype == jnp.float32
+              and Y.dtype == jnp.float32)
     nsx = _nsplits(X.dtype, prec)
     nsy = _nsplits(Y.dtype, prec)
+    halo_dtype = jnp.float32 if f32dot else jnp.bfloat16
+    dot_prec = (jax.lax.Precision.HIGHEST if prec == "exact"
+                else jax.lax.Precision.HIGH) if f32dot else None
+    fresh = _fresh_ok(nsy, halo_dtype, Y.dtype)
     geo = _geometry(clusters, E, n, m, nsy, Y.dtype.itemsize, n_tables=2,
-                    n_val_inputs=1)
+                    n_val_inputs=1,
+                    halo_item=jnp.dtype(halo_dtype).itemsize, fresh=fresh)
     if geo is None:
         return None
     R_T, span, ntiles, min_st, coffs = geo
@@ -695,22 +855,29 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
         m_eff = m + 8 - m % 8
     Xp = X if n_pad == n else jnp.pad(X, ((0, n_pad - n), (0, 0)))
     eidx_np, emsk_np = _p_extract(clusters, offsets, E, K)
-    cfg = _dma_cfg(R_T, span, ntiles, min_st, m_eff)
+    cfg = (_fresh_cfg(R_T, span, ntiles, min_st, m_eff) if fresh
+           else _dma_cfg(R_T, span, ntiles, min_st, m_eff))
     pairs = _pass_pairs(nsx, nsy)
 
     def kernel(eidx_ref, emsk_ref, x_ref, y_hbm, out_ref, *scratch):
-        halos = list(scratch[:nsy])
-        staging = scratch[nsy]
-        sems = scratch[nsy + 1]
         i = pl.program_id(0)
-        _emit_halo_stream(i, y_hbm, staging, sems, halos, cfg)
+        if fresh:
+            win, sems = scratch[0], scratch[1]
+            _emit_fresh_window(i, y_hbm, win, sems, cfg)
+            halos = [win.at[jax.lax.rem(i, jnp.int32(2))]]
+        else:
+            halos = list(scratch[:nsy])
+            staging = scratch[nsy]
+            sems = scratch[nsy + 1]
+            _emit_halo_stream(i, y_hbm, staging, sems, halos, cfg)
         eidx_v = eidx_ref[...]
         emsk_v = emsk_ref[...]
 
         chained = _body_mode() == "legacy"
 
         def body(sub, _):
-            xts = split_bf16(x_ref[pl.ds(sub * LANE, LANE), :], nsx)
+            xt = x_ref[pl.ds(sub * LANE, LANE), :]
+            xts = (xt,) if f32dot else split_bf16(xt, nsx)
             parts = []
             for c in range(C):
                 win = [halos[jb][pl.ds(coffs[c] + sub * LANE, Wd), :]
@@ -721,7 +888,8 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
                 # consecutive MXU issues
                 P = _tree_sum([jax.lax.dot_general(
                     xts[ix], win[jy], _DN_TT,
-                    preferred_element_type=jnp.float32)       # (128, Wd)
+                    preferred_element_type=jnp.float32,
+                    precision=dot_prec)                       # (128, Wd)
                     for (ix, jy) in pairs])
                 for b in range(nb):
                     got = jnp.take_along_axis(
@@ -753,7 +921,9 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
             out_specs=pl.BlockSpec((R_T, K), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, K), X.dtype),
-            scratch_shapes=_halo_scratch(nsy, H, Y.dtype, R_T),
+            scratch_shapes=(_fresh_scratch(H, halo_dtype) if fresh else
+                            _halo_scratch(nsy, H, Y.dtype, R_T,
+                                          halo_dtype)),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=_interpret(),

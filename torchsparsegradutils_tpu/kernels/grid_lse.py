@@ -152,6 +152,120 @@ def _grid_row_lse(plan: EllGridPlan, grid, include_zeros: bool):
 
 
 @lru_cache(maxsize=256)
+def bidir_grid_fns(rows_sa: StaticArray, cols_sa: StaticArray, n: int,
+                   m: int, include_zeros: bool):
+    """Fused bidirectional LSE over one pattern: returns ``f(data) ->
+    (col_lse, row_lse)`` or None when either direction's ELL grid is out
+    of scope.
+
+    One traversal in the reference sense (sparse_logsumexp.py:175-243:
+    stacked scatter indices, one shared kernel): here ONE value
+    permutation (CSR->CSC through the Beneš network), both ELL grid
+    fills, and a single stacked masked reduce over ``(Kmax, n+m)`` — so
+    the pair costs one reduce pass + one fill more than a lone row-LSE,
+    instead of two independent calls' everything.  The stacked reduce is
+    skipped (two in-program reduces instead) when the two grids' K
+    differ enough that lane padding would outweigh the fusion.
+    """
+    from .. import native
+    from .shuffle import permute_values
+    rows = rows_sa.arr.astype(np.int64)
+    cols = cols_sa.arr.astype(np.int64)
+    if rows.ndim != 1 or len(rows) == 0:
+        return None
+    plan_r = build_ell_grid_plan(rows_sa, cols_sa, n, m)
+    if plan_r is None:
+        return None
+    perm = native.lexsort_rowcol(cols, rows, n)
+    rt = StaticArray(np.ascontiguousarray(cols[perm]))
+    ct = StaticArray(np.ascontiguousarray(rows[perm]))
+    plan_c = build_ell_grid_plan(rt, ct, m, n)
+    if plan_c is None:
+        return None
+    perm_sa = StaticArray(np.ascontiguousarray(perm.astype(np.int64)))
+    inv_sa = StaticArray(np.ascontiguousarray(
+        np.argsort(perm).astype(np.int64)))
+    Kr, Kc = plan_r.K, plan_c.K
+    Kmax = max(Kr, Kc)
+    stack = Kmax * (plan_r.n + plan_c.n) <= 1.3 * (Kr * plan_r.n
+                                                   + Kc * plan_c.n)
+    validT_r = (plan_r.src_of_grid >= 0).reshape(plan_r.n, Kr).T
+    validT_c = (plan_c.src_of_grid >= 0).reshape(plan_c.n, Kc).T
+    if stack:
+        vT = np.zeros((Kmax, plan_c.n + plan_r.n), bool)
+        vT[:Kc, :plan_c.n] = validT_c
+        vT[:Kr, plan_c.n:] = validT_r
+        validT_dev = as_device_array(vT)
+        cnt_dev = as_device_array(
+            np.concatenate([plan_c.counts, plan_r.counts]))
+        width_dev = as_device_array(np.concatenate(
+            [np.full(plan_c.n, plan_c.m, np.int64),
+             np.full(plan_r.n, plan_r.m, np.int64)]))
+    else:
+        validT_c_dev = as_device_array(validT_c.copy())
+        validT_r_dev = as_device_array(validT_r.copy())
+
+    from .dia import values_to_grid
+
+    def _grids(data):
+        gr = values_to_grid(plan_r, data).astype(data.dtype)
+        gc = values_to_grid(
+            plan_c, permute_values(perm_sa, data)).astype(data.dtype)
+        return gr, gc
+
+    def _reduce(gr, gc):
+        if stack:
+            XT = jnp.concatenate([
+                jnp.pad(gc.T, ((0, Kmax - Kc), (0, 0))),
+                jnp.pad(gr.T, ((0, Kmax - Kr), (0, 0)))], axis=1)
+            out = masked_lse_kn(XT, validT_dev, cnt_dev, width_dev,
+                                include_zeros)
+            return out[:plan_c.n], out[plan_c.n:]
+        col = masked_lse_kn(gc.T, validT_c_dev,
+                            as_device_array(plan_c.counts), plan_c.m,
+                            include_zeros)
+        row = masked_lse_kn(gr.T, validT_r_dev,
+                            as_device_array(plan_r.counts), plan_r.m,
+                            include_zeros)
+        return col, row
+
+    from .dia import _use_pallas_grid
+
+    def _unfill(plan, d_grid):
+        flat = d_grid.reshape(-1)
+        if plan.unfill_plan is not None and _use_pallas_grid(flat.dtype):
+            return window_gather(plan.unfill_plan, flat)
+        return window_gather_xla(plan.pos, flat, plan.nnz)
+
+    @jax.custom_vjp
+    def f(data):
+        gr, gc = _grids(data)
+        return _reduce(gr, gc)
+
+    def fwd(data):
+        out = f(data)
+        return out, (data, out)
+
+    def bwd(res, gs):
+        data, (col, row) = res
+        g_col, g_row = gs
+        gr, gc = _grids(data)
+
+        def part(grid, out, g):
+            safe = jnp.isfinite(out)
+            oute = jnp.where(safe, out, 0.0)
+            ge = jnp.where(safe, g, 0.0)
+            return (jnp.exp(grid.T - oute[None, :]) * ge[None, :]).T
+
+        d_row = _unfill(plan_r, part(gr, row, g_row))
+        d_csc = _unfill(plan_c, part(gc, col, g_col))
+        return (d_row + permute_values(inv_sa, d_csc),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@lru_cache(maxsize=256)
 def grid_lse_fn(rows_sa: StaticArray, cols_sa: StaticArray, n: int, m: int,
                 include_zeros: bool):
     """Cached custom-vjp row-logsumexp over the ELL grid, or None."""

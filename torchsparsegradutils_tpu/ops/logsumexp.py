@@ -207,6 +207,26 @@ def _chunked_lse(A, include_zeros: bool, over_cols: bool, backend: str,
     return fn(A.data)
 
 
+def _bidir_fused_fn(A, include_zeros: bool, backend: str):
+    """Cached fused bidirectional grid-LSE callable, or None out of
+    scope (dynamic pattern, degree-skewed grids, xla backend, off-TPU
+    without pallas interpret opt-in)."""
+    from ..kernels import dispatch
+    from ..kernels.grid_lse import bidir_grid_fns
+
+    if backend in ("xla", "dia"):
+        return None
+    if backend != "pallas" and not dispatch.on_tpu():
+        return None
+    if A.ndim != 2 or A.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    rs, cs = A.row_sa(), A.col_sa()
+    if rs is None or cs is None or rs.arr.ndim != 1:
+        return None
+    n, m = A.mat_shape
+    return bidir_grid_fns(rs, cs, n, m, include_zeros)
+
+
 def sparse_logsumexp(A: Union[SparseCOO, SparseCSR],
                      dim: Union[int, Sequence[int]],
                      keepdim: bool = False,
@@ -368,11 +388,20 @@ def sparse_bidir_logsumexp(A: Union[SparseCOO, SparseCSR],
         # one traversal: the DIA grid is filled once and both direction
         # reductions consume it (the column direction via static shifts)
         planned = _dia_lse_plan(A, backend)
-        row_lse = _chunked_lse(A, include_zeros, over_cols=False,
-                               backend=backend, dia_planned=planned)
-        col_lse = _chunked_lse(A, include_zeros, over_cols=True,
-                               backend=backend, dia_planned=planned) \
-            if row_lse is not None else None
+        col_lse = row_lse = None
+        if planned is None:
+            # generic static patterns: fused pair — one CSR->CSC value
+            # permutation (Beneš), both ELL grid fills, one stacked
+            # masked reduce (kernels/grid_lse.py:bidir_grid_fns)
+            fused = _bidir_fused_fn(A, include_zeros, backend)
+            if fused is not None:
+                col_lse, row_lse = fused(A.data)
+        if row_lse is None:
+            row_lse = _chunked_lse(A, include_zeros, over_cols=False,
+                                   backend=backend, dia_planned=planned)
+            col_lse = _chunked_lse(A, include_zeros, over_cols=True,
+                                   backend=backend, dia_planned=planned) \
+                if row_lse is not None else None
         if col_lse is not None:
             if output_layout == "padded":
                 ninf = jnp.array(-jnp.inf, row_lse.dtype)

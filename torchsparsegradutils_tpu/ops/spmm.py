@@ -349,6 +349,14 @@ def _spmm_bwd_pair(backend, grad_precision, A, B, g, pg):
         plan = _chunk_plan(A, backend)
         plan_t = _chunk_plan(A, backend, transpose=True)
         if plan is not None and plan_t is not None:
+            from ..kernels.dia import _spmm_bwd_mode
+            if _spmm_bwd_mode() == "split":
+                # Beneš-era split backward: the CSC value permutation is
+                # ~1.6 ms / 3M values (kernels/benes.py), so d_B runs as
+                # a plain transpose chunk SpMM — no (nnz, p) V matrix
+                from ..kernels.chunk_spmm import chunk_sddmm, chunk_spmm
+                return (chunk_sddmm(plan, g, B, pg=pg),
+                        chunk_spmm(plan_t, A.data, g))
             out = chunk_spmm_bwd_fused(plan, plan_t, A.data, B, g, pg=pg,
                                        fast=(grad_precision == "fast"))
             return out
