@@ -18,12 +18,15 @@ run() {
   echo "--- $lbl rc=$? ($(date -u +%H:%M:%S))" | tee -a "$LOG"
 }
 
+run 4200 mm_suite     python -m benchmarks.sparse_mm_suite
 run 3000 tri_suite    python -m benchmarks.sparse_triangular_solve_suite
+run 600  summary      python -m benchmarks.visualize_results
 run 1800 lse_ss       python -m benchmarks.sparse_logsumexp_suitesparse
 run 1800 lse_rand     python -m benchmarks.sparse_logsumexp_rand
-run 4200 mm_suite     python -m benchmarks.sparse_mm_suite
 run 1800 batched      python -m benchmarks.batched_sparse_mm_rand
+run 600  summary2     python -m benchmarks.visualize_results
+run 2400 mm_rand      python -m benchmarks.sparse_mm_rand
 run 1500 solve_suite  python -m benchmarks.sparse_solve_suite
-run 600  summary      python -m benchmarks.visualize_results
+run 600  summary3     python -m benchmarks.visualize_results
 
 echo "=== done $(date -u +%H:%M:%S) ===" | tee -a "$LOG"

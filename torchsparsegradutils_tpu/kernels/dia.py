@@ -127,15 +127,28 @@ def _select_diagonals(offs: np.ndarray, n: int):
     """
     uniq, counts = np.unique(offs, return_counts=True)
     order = np.argsort(-counts, kind="stable")
-    keep_n = min(len(uniq), MAX_DIAGS)
-    kept = order[:keep_n]
-    # marginal budget (counts descending -> prefix property)
-    keep_n = min(keep_n, int(
-        (counts[kept] * DIA_MAX_EXPAND >= n).sum()))
+    cap = min(len(uniq), MAX_DIAGS)
+    kept = order[:cap]
     cum = np.cumsum(counts[kept])
-    while keep_n > 0 and keep_n * n > DIA_MAX_EXPAND * cum[keep_n - 1]:
-        keep_n -= 1
+
+    def shrink(keep_n):
+        # aggregate budget: K * n <= DIA_MAX_EXPAND * covered
+        while keep_n > 0 and keep_n * n > DIA_MAX_EXPAND * cum[keep_n - 1]:
+            keep_n -= 1
+        return keep_n
+    # marginal budget (counts descending -> prefix property)
+    keep_n = shrink(min(cap, int((counts[kept] * DIA_MAX_EXPAND >= n).sum())))
     covered = int(cum[keep_n - 1]) if keep_n else 0
+    if covered < HYBRID_MIN_COVER * len(offs):
+        # The marginal stray-diagonal cut exists to keep hybrid random
+        # remainders from bloating K for ~0.03 % coverage — but on
+        # uniformly THINNED diagonal patterns (every diagonal ~n/4 full)
+        # it can kill an otherwise-valid plan outright.  When that
+        # happens, retry with the aggregate expansion budget alone.
+        keep_a = shrink(cap)
+        cov_a = int(cum[keep_a - 1]) if keep_a else 0
+        if cov_a >= HYBRID_MIN_COVER * len(offs):
+            return keep_a, kept, cov_a, uniq
     return keep_n, kept, covered, uniq
 
 
@@ -634,11 +647,15 @@ def _resid_engine() -> str:
 
 
 def _spmm_bwd_mode() -> str:
-    """Chunk-path spmm backward: ``fused`` (one pass emitting SDDMM
-    values + V rows, then a column-order V row-sum) or ``split``
-    (chunk_sddmm + transpose chunk_spmm over Beneš-permuted values —
-    no (nnz, p) V materialisation).  Round-5 A/B knob."""
-    return os.environ.get("TSGU_SPMM_BWD", "fused")
+    """Chunk-path spmm backward: ``split`` (default — chunk_sddmm + a
+    transpose chunk_spmm over Beneš-permuted values, no (nnz, p) V
+    materialisation) or ``fused`` (the round-4 single pass emitting
+    SDDMM values + V rows, then a column-order V row-sum).  Round-5
+    A/B on the v5e (probe_r5 random_bwd, 3.1M-nnz uniform pattern):
+    split 25.9 ms vs fused 51.7 ms — the V-row write + random V-row
+    re-gather cost more than the Beneš value permutation it avoided
+    (1.6 ms at this scale)."""
+    return os.environ.get("TSGU_SPMM_BWD", "split")
 
 
 @lru_cache(maxsize=64)

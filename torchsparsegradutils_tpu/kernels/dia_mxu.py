@@ -102,12 +102,15 @@ def _body_mode() -> str:
       assembling the concatenated window eats the fewer-matmuls win).
     * ``f32dot``: no pre-splits at all — ONE f32 halo, f32 banded
       operands, and ``dot_general(..., precision=HIGHEST)`` so Mosaic
-      runs its own bf16x6 decomposition inside the MXU pipeline.
-      Motivated by the round-5 ``nogather``/``nodot`` probes (1.815 /
-      1.821 ms vs full 1.953): neither the gathers nor the dots are the
-      critical path — the split/roll/window machinery is, and this mode
-      deletes two thirds of it (one halo instead of three, no split
-      arithmetic, one gather+pad per cluster instead of three).
+      decomposes inside the MXU pipeline.  Motivated by the round-5
+      ``nogather``/``nodot`` probes (1.815 / 1.821 ms vs full 1.953):
+      neither the gathers nor the dots are the critical path — the
+      split/roll/window machinery is.  **Accuracy caveat (measured
+      on-chip)**: Mosaic honors HIGHEST for the SDDMM's ``(a,k)x(b,k)``
+      dot (2.9e-7 vs the manual bf16x6) but NOT for the SpMM's
+      ``(a,k)x(k,b)`` dot (2.2e-3 — bf16x1), so the SpMM half of this
+      mode is probe-only and must not carry the exact-f32 contract;
+      the default stays ``legacy``.
 
     The knob stays for future hardware.  sddmm: tree 1.670 / pair 1.644
     (legacy body not separately chained there; parts still tree-combine).

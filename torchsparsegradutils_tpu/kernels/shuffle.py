@@ -193,7 +193,12 @@ def _use_expand(n: int, dtype) -> bool:
             and dtype in (jnp.float32, jnp.bfloat16))
 
 
-BENES_MIN_N = 1 << 20         # below this the flat take is cheap enough
+# Crossover: the flat take costs ~6.7 µs per 1k values (measured 20.6 ms
+# at 3.1M); the network costs ~2·log2(N) streamed passes ≈ 0.5 µs/1k at
+# 1M.  Well above break-even by 128k; below that the flat take's <1 ms
+# doesn't repay a plan's mask memory.  (Round-5 hybrid_bwd probe caught
+# the old 1<<20 gate excluding the 926k-entry hybrid residual reorder.)
+BENES_MIN_N = 1 << 17
 
 
 def _use_benes(n: int, dtype) -> bool:

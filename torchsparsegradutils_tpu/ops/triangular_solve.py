@@ -195,7 +195,7 @@ def _blocked_tri_solve(plan: _TriPlan, data, B, *, lower: bool, unit: bool):
 # level-scheduled wave solve
 # --------------------------------------------------------------------------
 
-BENES_TABLE_MIN = 1 << 20
+BENES_TABLE_MIN = 1 << 17     # crossover: see kernels/shuffle.BENES_MIN_N
 
 
 def _make_val_gather(sel: np.ndarray, nnz: int):
