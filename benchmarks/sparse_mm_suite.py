@@ -113,39 +113,47 @@ def _run_patterns(rows, n, nnz, m, offs, key, scale_label, only=None):
         A_h = hybrid_sparse(kA, (n, n), offs, nnz, dia_coverage=cov,
                             layout="csr")
         run(A_h, f"hybrid{int(cov * 100)}", "csr", ("auto",))
+    import os
+    ell = () if os.environ.get("TSGU_SUITE_SKIP_ELL") else ("ell",)
     for layout in ("csr", "coo"):
         A = rand_sparse(kA, (n, n), nnz, layout=layout)
-        run(A, "random", layout, ("pallas", "xla", "ell"))
+        run(A, "random", layout, ("pallas", "xla") + ell)
     # gather-bound worst case at half the row bytes (probe gather_bf16
     # measured the gather floor 2.4x lower at bf16)
     A = rand_sparse(kA, (n, n), nnz, layout="csr")
     run(A, "random_bf16", "csr", ("pallas",), dtype=jnp.bfloat16)
 
 
-def main(small: bool = False, big: bool = True, only=None):
+def main(small: bool = False, big: bool = True, only=None,
+         scale: str = "both"):
     key = jax.random.PRNGKey(0)
     rows = []
     if small:
         _run_patterns(rows, 8192, 120_000, 128,
                       [0, 1, -1, 9, -9, 64, -64], key, "small", only=only)
     else:
-        _run_patterns(rows, N, NNZ, M, STENCIL_OFFSETS, key, "cfd2",
-                      only=only)
-        if big:
+        if scale in ("both", "cfd2"):
+            _run_patterns(rows, N, NNZ, M, STENCIL_OFFSETS, key, "cfd2",
+                          only=only)
+        if big and scale in ("both", "nnz1e7"):
             # nnz >= 1e7 roofline rows (stencil DIA path + random):
             # 26 diagonals at N=400k -> nnz ~ 1.04e7
             offs_big = sorted(set(STENCIL_OFFSETS) | {4})
             _run_patterns(rows, N_BIG, NNZ_BIG, M, offs_big,
                           jax.random.fold_in(key, 7), "nnz1e7", only=only)
-    write_csv("sparse_mm_suite_results.csv", rows, merge=only is not None)
+    write_csv("sparse_mm_suite_results.csv", rows,
+              merge=only is not None or scale != "both")
 
 
 if __name__ == "__main__":
     from benchmarks._jaxenv import reexec
     reexec()  # JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS (HTTP 413 fix)
     _only = None
+    _scale = "both"
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             _only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--scale="):
+            _scale = a.split("=", 1)[1]
     main(small="--small" in sys.argv, big="--no-big" not in sys.argv,
-         only=_only)
+         only=_only, scale=_scale)

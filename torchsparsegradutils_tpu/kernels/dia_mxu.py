@@ -224,7 +224,7 @@ def plan_clusters(offsets: np.ndarray):
 
 def _geometry(clusters, E: int, n: int, m: int, nsb: int, item_b: int,
               n_tables: int = 1, n_val_inputs: int = 3, halo_item: int = 2,
-              fresh: bool = False):
+              fresh: bool = False, fresh_split: bool = False):
     """Rolling-window geometry: tile size, halo span, clipping to n.
     Tile i's halo holds source rows ``[i*R_T + min_st, i*R_T + min_st +
     H)``; cluster c's window for sub-tile ``s`` starts ``coff_c +
@@ -250,6 +250,9 @@ def _geometry(clusters, E: int, n: int, m: int, nsb: int, item_b: int,
         if fresh:
             # double-buffered full window, no staging, no split halos
             stream = 2 * H * LANE * halo_item
+        elif fresh_split:
+            # double-buffered f32 window + single-buffered bf16 halos
+            stream = 2 * H * LANE * 4 + nsb * H * LANE * 2
         else:
             stream = (nsb * H * LANE * halo_item    # split halos
                       + 2 * R_T * LANE * item_b)    # staging double buffer
@@ -505,9 +508,49 @@ def _fresh_ok(nsb: int, halo_dtype, stream_dtype) -> bool:
             and os.environ.get("TSGU_MXU_STREAM", "fresh") == "fresh")
 
 
+def _fresh_split_ok(nsb: int, stream_dtype) -> bool:
+    """Fresh-window streaming for SPLIT sources (exact-f32 operands,
+    nsb bf16 component halos): the window lands f32 by DMA and is
+    decomposed ONCE per grid step — no roll copies, no staging shuffle,
+    split results reused across every cluster/pass dot.  The round-5
+    probes showed the rolling machinery runs serially with compute
+    (`empty` 1.243 ms of the 1.953 ms core at cfd2 scale); this keeps
+    the split (~0.15 ms of VPU) and deletes the rest.
+
+    Gated by ``TSGU_MXU_FRESH_SPLIT`` until the on-chip probe validates
+    it (flips to default-on once measured)."""
+    return (nsb > 1 and stream_dtype == jnp.float32
+            and os.environ.get("TSGU_MXU_FRESH_SPLIT", "0") == "1"
+            and os.environ.get("TSGU_MXU_STREAM", "fresh") == "fresh")
+
+
 def _fresh_scratch(H: int, halo_dtype):
     return [pltpu.VMEM((2, H, LANE), halo_dtype),
             pltpu.SemaphoreType.DMA((2,))]
+
+
+def _fresh_split_scratch(nsb: int, H: int):
+    return ([pltpu.VMEM((2, H, LANE), jnp.float32)]
+            + [pltpu.VMEM((H, LANE), jnp.bfloat16) for _ in range(nsb)]
+            + [pltpu.SemaphoreType.DMA((2,))])
+
+
+def _split_window(halos, win, slot, H: int):
+    """Decompose window rows [0, H) of ``win[slot]`` into the bf16
+    component halos — one pass per grid step, 128-row chunks."""
+    def body(t, _):
+        x = win[slot, pl.ds(t * LANE, LANE), :]
+        xf = x.astype(jnp.float32)
+        x0 = xf.astype(jnp.bfloat16)
+        halos[0][pl.ds(t * LANE, LANE), :] = x0
+        r = xf - x0.astype(jnp.float32)
+        x1 = r.astype(jnp.bfloat16)
+        halos[1][pl.ds(t * LANE, LANE), :] = x1
+        if len(halos) == 3:
+            halos[2][pl.ds(t * LANE, LANE), :] = (
+                r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+        return 0
+    jax.lax.fori_loop(0, H // LANE, body, 0)
 
 
 # --------------------------------------------------------------------------
@@ -645,9 +688,11 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
     dot_prec = (jax.lax.Precision.HIGHEST if prec == "exact"
                 else jax.lax.Precision.HIGH) if f32dot else None
     fresh = _fresh_ok(nsb, halo_dtype, B.dtype)
+    fresh_split = not fresh and _fresh_split_ok(nsb, B.dtype)
     geo = _geometry(clusters, E, n, m, nsb, B.dtype.itemsize,
                     n_val_inputs=nsv,
-                    halo_item=jnp.dtype(halo_dtype).itemsize, fresh=fresh)
+                    halo_item=jnp.dtype(halo_dtype).itemsize, fresh=fresh,
+                    fresh_split=fresh_split)
     if geo is None:
         return None
     R_T, span, ntiles, min_st, coffs = geo
@@ -668,7 +713,8 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
         gv_splits = tuple(jnp.pad(g, ((0, n_pad - n), (0, 0)))
                           for g in gv_splits)
     idx_np = _m_gather_idx(clusters, offsets, E)
-    cfg = (_fresh_cfg(R_T, span, ntiles, min_st, m_eff) if fresh
+    cfg = (_fresh_cfg(R_T, span, ntiles, min_st, m_eff)
+           if (fresh or fresh_split)
            else _dma_cfg(R_T, span, ntiles, min_st, m_eff))
     pairs = _pass_pairs(nsv, nsb)
 
@@ -683,6 +729,12 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
             sems = refs[4 + nsv]
             _emit_fresh_window(i, b_hbm, win, sems, cfg)
             halos = [win.at[jax.lax.rem(i, jnp.int32(2))]]
+        elif fresh_split:
+            win = refs[3 + nsv]
+            halos = list(refs[4 + nsv:4 + nsv + nsb])
+            sems = refs[4 + nsv + nsb]
+            _emit_fresh_window(i, b_hbm, win, sems, cfg)
+            _split_window(halos, win, jax.lax.rem(i, jnp.int32(2)), H)
         else:
             halos = list(refs[3 + nsv:3 + nsv + nsb])
             staging = refs[3 + nsv + nsb]
@@ -791,8 +843,9 @@ def spmm_core_mxu(offsets: np.ndarray, n: int, m: int, grid_v, B,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, LANE), B.dtype),
             scratch_shapes=(_fresh_scratch(H, halo_dtype) if fresh else
-                            _halo_scratch(nsb, H, B.dtype, R_T,
-                                          halo_dtype)),
+                            _fresh_split_scratch(nsb, H) if fresh_split
+                            else _halo_scratch(nsb, H, B.dtype, R_T,
+                                               halo_dtype)),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=_interpret(),
@@ -839,9 +892,11 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
     dot_prec = (jax.lax.Precision.HIGHEST if prec == "exact"
                 else jax.lax.Precision.HIGH) if f32dot else None
     fresh = _fresh_ok(nsy, halo_dtype, Y.dtype)
+    fresh_split = not fresh and _fresh_split_ok(nsy, Y.dtype)
     geo = _geometry(clusters, E, n, m, nsy, Y.dtype.itemsize, n_tables=2,
                     n_val_inputs=1,
-                    halo_item=jnp.dtype(halo_dtype).itemsize, fresh=fresh)
+                    halo_item=jnp.dtype(halo_dtype).itemsize, fresh=fresh,
+                    fresh_split=fresh_split)
     if geo is None:
         return None
     R_T, span, ntiles, min_st, coffs = geo
@@ -858,7 +913,8 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
         m_eff = m + 8 - m % 8
     Xp = X if n_pad == n else jnp.pad(X, ((0, n_pad - n), (0, 0)))
     eidx_np, emsk_np = _p_extract(clusters, offsets, E, K)
-    cfg = (_fresh_cfg(R_T, span, ntiles, min_st, m_eff) if fresh
+    cfg = (_fresh_cfg(R_T, span, ntiles, min_st, m_eff)
+           if (fresh or fresh_split)
            else _dma_cfg(R_T, span, ntiles, min_st, m_eff))
     pairs = _pass_pairs(nsx, nsy)
 
@@ -868,6 +924,12 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
             win, sems = scratch[0], scratch[1]
             _emit_fresh_window(i, y_hbm, win, sems, cfg)
             halos = [win.at[jax.lax.rem(i, jnp.int32(2))]]
+        elif fresh_split:
+            win = scratch[0]
+            halos = list(scratch[1:1 + nsy])
+            sems = scratch[1 + nsy]
+            _emit_fresh_window(i, y_hbm, win, sems, cfg)
+            _split_window(halos, win, jax.lax.rem(i, jnp.int32(2)), H)
         else:
             halos = list(scratch[:nsy])
             staging = scratch[nsy]
@@ -925,8 +987,9 @@ def sddmm_core_mxu(offsets: np.ndarray, n: int, m: int, X, Y):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad, K), X.dtype),
             scratch_shapes=(_fresh_scratch(H, halo_dtype) if fresh else
-                            _halo_scratch(nsy, H, Y.dtype, R_T,
-                                          halo_dtype)),
+                            _fresh_split_scratch(nsy, H) if fresh_split
+                            else _halo_scratch(nsy, H, Y.dtype, R_T,
+                                               halo_dtype)),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
             interpret=_interpret(),
