@@ -89,7 +89,10 @@ def _lse_combine(plan: ChunkPlan, pm, ps, counts: np.ndarray, width: int,
     w = jnp.where(psf > 0, psf * jnp.exp(shift_diff), 0.0)
     S = jax.ops.segment_sum(w, seg, num_segments=n + 1)[:n]
     if include_zeros:
-        zc = jnp.asarray((width - counts).astype(np.float32)).astype(
+        # as_device_array, NOT jnp.asarray: raw-numpy captures inline as
+        # host constants the JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS hoister
+        # rejects (TypedNdArray sharding error, jax 0.9.0)
+        zc = as_device_array((width - counts).astype(np.float32)).astype(
             M.dtype)
         has_zeros = zc > 0
         Mz = jnp.where(has_zeros, jnp.maximum(M_safe, 0.0), M_safe)

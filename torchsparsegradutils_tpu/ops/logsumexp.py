@@ -162,8 +162,11 @@ def _dia_lse(A, include_zeros: bool, over_cols: bool, backend: str,
     else:
         width = m
     from ..kernels.grid_lse import masked_lse_kn
-    vmaskT = jnp.asarray(valid.T.copy())
-    cnt = jnp.asarray(valid.sum(axis=1))
+    # as_device_array, NOT jnp.asarray: a raw-numpy capture inlines as a
+    # host constant that JAX_USE_SIMPLIFIED_JAXPR_CONSTANTS's hoister
+    # rejects ("TypedNdArray has no attribute sharding", jax 0.9.0)
+    vmaskT = as_device_array(np.ascontiguousarray(valid.T))
+    cnt = as_device_array(valid.sum(axis=1))
     return masked_lse_kn(grid.T, vmaskT, cnt, width, include_zeros)
 
 
